@@ -1,0 +1,37 @@
+"""Test configuration: force CPU with 8 virtual devices.
+
+Multi-chip sharding is validated on a virtual CPU mesh (no multi-chip TPU
+hardware available); bench.py runs on the real chip instead.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tiny_config():
+    from planarslam_tpu.config import SystemConfig
+
+    return SystemConfig.tiny()
+
+
+@pytest.fixture(scope="session")
+def tiny_sequence():
+    from planarslam_tpu.io import synthetic
+
+    cfg_wh = (160, 120)
+    return synthetic.make_sequence(n_frames=12, width=cfg_wh[0], height=cfg_wh[1])
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(42)
