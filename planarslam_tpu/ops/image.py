@@ -1,0 +1,110 @@
+"""Dense image ops: pyramid, separable Gaussian blur, resize, gradients.
+
+TPU-shaped replacements for the per-level OpenCV calls in the reference's
+ORB extractor (`src/ORBextractor.cc:1107` ComputePyramid, GaussianBlur at
+`:1034`): everything is static-shape jnp, fused under the frontend jit.
+Images are float32 (H, W) in [0, 255].
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def gaussian_kernel_1d(ksize: int, sigma: float) -> np.ndarray:
+    r = (ksize - 1) / 2.0
+    x = np.arange(ksize) - r
+    k = np.exp(-(x ** 2) / (2.0 * sigma * sigma))
+    return (k / k.sum()).astype(np.float32)
+
+
+def blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.ndarray:
+    """Separable Gaussian blur with replicate borders (matches the blur the
+    reference applies before rBRIEF sampling, `src/ORBextractor.cc:1034`)."""
+    k = jnp.asarray(gaussian_kernel_1d(ksize, sigma))
+    pad = ksize // 2
+    x = jnp.pad(img, ((pad, pad), (0, 0)), mode="edge")
+    x = jax.lax.conv_general_dilated(
+        x[None, None, :, :], k[None, None, :, None],
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="edge")
+    x = jax.lax.conv_general_dilated(
+        x[None, None, :, :], k[None, None, None, :],
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+    return x
+
+
+def resize_bilinear(img: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    return jax.image.resize(img, out_hw, method="bilinear")
+
+
+def pyramid_shapes(height: int, width: int, n_levels: int,
+                   scale_factor: float) -> List[Tuple[int, int]]:
+    """Static per-level shapes, matching the reference's round(dim/scale^l)."""
+    shapes = []
+    for l in range(n_levels):
+        inv = 1.0 / (scale_factor ** l)
+        shapes.append((int(round(height * inv)), int(round(width * inv))))
+    return shapes
+
+
+def build_pyramid(img: jnp.ndarray, n_levels: int,
+                  scale_factor: float) -> List[jnp.ndarray]:
+    """Scale pyramid; level 0 is the input. Cascaded resize like the
+    reference (each level resized from the previous, `ORBextractor.cc:1107`)."""
+    h, w = img.shape
+    shapes = pyramid_shapes(h, w, n_levels, scale_factor)
+    levels = [img]
+    for l in range(1, n_levels):
+        levels.append(resize_bilinear(levels[-1], shapes[l]))
+    return levels
+
+
+def sobel_gradients(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """3x3 Sobel dx, dy with replicate borders (for line detection / normals)."""
+    kx = jnp.asarray(np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32))
+    ky = kx.T
+    p = jnp.pad(img, 1, mode="edge")[None, None]
+    gx = jax.lax.conv_general_dilated(p, kx[None, None], (1, 1), "VALID",
+                                      dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+    gy = jax.lax.conv_general_dilated(p, ky[None, None], (1, 1), "VALID",
+                                      dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+    return gx, gy
+
+
+def maxpool_3x3(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3 max filter (same shape) — used for score non-max suppression."""
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME")
+
+
+def bilinear_sample(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Sample (H, W) image at float (..., 2) = (u=x, v=y) with clamping."""
+    h, w = img.shape
+    u = jnp.clip(uv[..., 0], 0.0, w - 1.001)
+    v = jnp.clip(uv[..., 1], 0.0, h - 1.001)
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    au = u - u0
+    av = v - v0
+    flat = img.reshape(-1)
+
+    def at(vv, uu):
+        return flat[vv * w + uu]
+
+    return ((1 - au) * (1 - av) * at(v0, u0) + au * (1 - av) * at(v0, u0 + 1)
+            + (1 - au) * av * at(v0 + 1, u0) + au * av * at(v0 + 1, u0 + 1))
+
+
+def nearest_sample(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    h, w = img.shape
+    u = jnp.clip(jnp.round(uv[..., 0]).astype(jnp.int32), 0, w - 1)
+    v = jnp.clip(jnp.round(uv[..., 1]).astype(jnp.int32), 0, h - 1)
+    return img.reshape(-1)[v * w + u]
