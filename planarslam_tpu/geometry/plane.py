@@ -1,14 +1,27 @@
 """Minimal plane parameterization and structural residuals.
 
 TPU-native re-design of the reference's ``g2oAddition/Plane3D.h:16-183``:
-planes are Hessian-form 4-vectors (n, d) with n·x + d = 0 and ||n|| = 1,
-and errors between planes are expressed in the minimal (azimuth, elevation,
-distance) chart — `ominus` — with the 2-dof parallel (`ominus_par`,
-flip-normal, `Plane3D.h:155-173`) and vertical (`ominus_ver`, 90°-rotated,
-`Plane3D.h:136-153`) variants used by the structural constraints.
+planes are Hessian-form 4-vectors (n, d) with n·x + d = 0, ||n|| = 1 and the
+g2o sign convention d >= 0; errors between planes live in a minimal 2/3-dof
+chart like the reference's ominus / ominus_par / ominus_ver.
 
-All functions are jnp, batched over leading axes, differentiable (the pose
-optimizers take Jacobians through them with jax.jacfwd).
+Autodiff-aware redesign (deliberate delta vs the reference): g2o builds the
+(azimuth, elevation) chart on the *estimated* plane
+(`Plane3D.h` ominus: ``R = rotation(normal()).transpose()`` with ``normal()``
+the transformed estimate), which under JAX autodiff yields NaN/ill-conditioned
+Jacobians at chart gimbal points (axis-aligned normals — ubiquitous in
+Manhattan scenes). We instead express the angular error in the tangent basis
+of the *measured* normal, which is constant during pose linearization:
+
+    r_ang = B(n_meas)^T n_est           (2-dof, |r_ang| = sin(angle))
+    r_d   = d_est - d_meas
+
+This has the same zero set and agrees with the reference's
+(azimuth, elevation, d) error to first order — which is all Gauss-Newton
+consumes — while keeping gradients finite everywhere. The parallel variant
+flips the measured normal into the estimate's hemisphere
+(`Plane3D.h:155-173`); the vertical variant penalizes the deviation from
+perpendicularity (`Plane3D.h:136-153`).
 """
 
 from __future__ import annotations
@@ -18,17 +31,26 @@ import jax.numpy as jnp
 _EPS = 1e-9
 
 
+def _safe_norm(v, axis=-1):
+    """Norm with a well-defined gradient at v = 0 (jnp.linalg.norm's gradient
+    is NaN there, which would poison pose Jacobians)."""
+    return jnp.sqrt(jnp.sum(v * v, axis=axis) + _EPS)
+
+
 def normalize(coeffs):
-    """Scale (a, b, c, d) so the normal is unit length."""
-    n = jnp.linalg.norm(coeffs[..., :3], axis=-1, keepdims=True).clip(_EPS)
-    return coeffs / n
+    """Scale (a, b, c, d) to unit normal and flip so d >= 0 (g2o
+    `Plane3D.h` normalize semantics)."""
+    n = _safe_norm(coeffs[..., :3])[..., None]
+    c = coeffs / n
+    return c * jnp.where(c[..., 3:4] < 0, -1.0, 1.0)
 
 
 def transform(T, coeffs):
     """Transform plane coefficients by a point transform T (x' = T x).
 
     If points map as x_b = T_ba x_a, plane coefficients map as
-    pi_b = T_ba^{-T} pi_a.
+    pi_b = T_ba^{-T} pi_a. Output is NOT re-canonicalized (sign preserved)
+    so the function stays smooth; normalize() explicitly where needed.
     """
     R = T[..., :3, :3]
     t = T[..., :3, 3]
@@ -39,79 +61,70 @@ def transform(T, coeffs):
     return jnp.concatenate([n_new, d_new[..., None]], axis=-1)
 
 
-def _azimuth(v):
-    return jnp.arctan2(v[..., 1], v[..., 0])
+def tangent_basis(n):
+    """Two orthonormal vectors spanning the plane perpendicular to n (...,3).
+
+    Branch-free construction with finite gradients for all unit n.
+    """
+    # pick the axis least aligned with n as the seed
+    ax = jnp.abs(n)
+    seed = jnp.where((ax[..., 0:1] <= ax[..., 1:2]) & (ax[..., 0:1] <= ax[..., 2:3]),
+                     jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], n.dtype), n.shape),
+                     jnp.where(ax[..., 1:2] <= ax[..., 2:3],
+                               jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], n.dtype), n.shape),
+                               jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], n.dtype), n.shape)))
+    b1 = jnp.cross(n, seed)
+    b1 = b1 / _safe_norm(b1)[..., None]
+    b2 = jnp.cross(n, b1)
+    return b1, b2
 
 
-def _elevation(v):
-    return jnp.arctan2(v[..., 2], jnp.linalg.norm(v[..., :2], axis=-1).clip(_EPS))
-
-
-def _rotation_from_normal(n):
-    """Rotation whose first column is n (reference `Plane3D.h` rotation())."""
-    az = _azimuth(n)
-    el = _elevation(n)
-    ca, sa = jnp.cos(az), jnp.sin(az)
-    ce, se = jnp.cos(el), jnp.sin(el)
-    return jnp.stack([
-        jnp.stack([ca * ce, -sa, -ca * se], axis=-1),
-        jnp.stack([sa * ce, ca, -sa * se], axis=-1),
-        jnp.stack([se, jnp.zeros_like(se), ce], axis=-1),
-    ], axis=-2)
+def _hemi_align(p, ref_n):
+    """Flip plane p so its normal lies in the hemisphere of ref_n."""
+    dot = jnp.sum(p[..., :3] * ref_n, axis=-1, keepdims=True)
+    return p * jnp.where(dot < 0, -1.0, 1.0)
 
 
 def ominus(p_est, p_meas):
-    """3-dof error between two planes (reference `Plane3D.h:127-134`).
-
-    Rotates the measured normal into the chart where the estimated normal is
-    (1,0,0); the error is (azimuth, elevation) of the rotated normal plus the
-    distance difference.
-    """
+    """3-dof error between the estimated and measured plane (reference
+    `Plane3D.h:127-134`): 2 angular dofs + distance difference."""
     p_est = normalize(p_est)
     p_meas = normalize(p_meas)
-    R = jnp.swapaxes(_rotation_from_normal(p_est[..., :3]), -1, -2)
-    n = (R @ p_meas[..., :3, None])[..., 0]
-    d = p_est[..., 3] - p_meas[..., 3]
-    return jnp.stack([_azimuth(n), _elevation(n), d], axis=-1)
+    b1, b2 = tangent_basis(p_meas[..., :3])
+    n_e = p_est[..., :3]
+    return jnp.stack([
+        jnp.sum(b1 * n_e, axis=-1),
+        jnp.sum(b2 * n_e, axis=-1),
+        p_est[..., 3] - p_meas[..., 3],
+    ], axis=-1)
 
 
 def ominus_par(p_est, p_meas):
-    """2-dof parallel-plane error (reference `Plane3D.h:155-173`).
-
-    Distance is unconstrained; the measured normal is flipped if it points
-    away from the estimate so anti-parallel planes also count as parallel.
-    """
+    """2-dof parallel-plane error (reference `Plane3D.h:155-173`): distance
+    free; measured normal flipped into the estimate's hemisphere so
+    anti-parallel counts as parallel."""
     p_est = normalize(p_est)
     p_meas = normalize(p_meas)
-    dot = jnp.sum(p_est[..., :3] * p_meas[..., :3], axis=-1, keepdims=True)
-    n_meas = p_meas[..., :3] * jnp.where(dot < 0, -1.0, 1.0)
-    R = jnp.swapaxes(_rotation_from_normal(p_est[..., :3]), -1, -2)
-    n = (R @ n_meas[..., None])[..., 0]
-    return jnp.stack([_azimuth(n), _elevation(n)], axis=-1)
+    n_e = p_est[..., :3]
+    n_m = _hemi_align(p_meas, n_e)[..., :3]
+    b1, b2 = tangent_basis(n_m)
+    return jnp.stack([
+        jnp.sum(b1 * n_e, axis=-1),
+        jnp.sum(b2 * n_e, axis=-1),
+    ], axis=-1)
 
 
 def ominus_ver(p_est, p_meas):
-    """2-dof vertical(perpendicular)-plane error (reference `Plane3D.h:136-153`).
+    """2-dof perpendicular-plane error (reference `Plane3D.h:136-153`).
 
-    The measured normal is rotated 90° (swap towards the estimate's chart) so
-    that perpendicularity maps to a zero of the same (azimuth, elevation)
-    residual.
+    Zero iff n_est ⟂ n_meas; magnitude ≈ deviation angle from 90°. The
+    second component is identically zero (kept for the reference's 2-dof
+    information-matrix shape).
     """
     p_est = normalize(p_est)
     p_meas = normalize(p_meas)
-    # 90°-rotated measured normal: remove the component along the estimate and
-    # renormalize, giving the nearest direction perpendicular-to-measured in
-    # the estimate/measure plane (the zero set is n_est ⟂ n_meas).
-    n_e = p_est[..., :3]
-    n_m = p_meas[..., :3]
-    dot = jnp.sum(n_e * n_m, axis=-1, keepdims=True)
-    # target direction: rotate n_m by 90° within span{n_e, n_m} towards n_e
-    ortho = n_e - dot * n_m
-    ortho = ortho / jnp.linalg.norm(ortho, axis=-1, keepdims=True).clip(_EPS)
-    rotated = jnp.where(dot >= 0, ortho, -ortho)
-    R = jnp.swapaxes(_rotation_from_normal(n_e), -1, -2)
-    n = (R @ rotated[..., None])[..., 0]
-    return jnp.stack([_azimuth(n), _elevation(n)], axis=-1)
+    dot = jnp.sum(p_est[..., :3] * p_meas[..., :3], axis=-1)
+    return jnp.stack([dot, jnp.zeros_like(dot)], axis=-1)
 
 
 def point_plane_distance(coeffs, pts):

@@ -108,7 +108,7 @@ def test_plane_ominus_zero_and_sensitivity():
     # distance-only perturbation shows up only in component 2
     p2 = jnp.asarray(np.array([0.0, 0.0, 1.0, -2.1], dtype=np.float32))
     err = np.asarray(plane.ominus(p, p2))
-    assert abs(err[2] - 0.1) < 1e-5 and np.allclose(err[:2], 0, atol=1e-6)
+    assert abs(abs(err[2]) - 0.1) < 1e-5 and np.allclose(err[:2], 0, atol=1e-6)
 
 
 def test_plane_ominus_par_ver():
