@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""RGB-D SLAM driver — the reference CLI (`Examples/RGB-D/main.cc:15-124`).
+
+Usage (TUM/ICL dataset):
+    python examples/run_rgbd.py --settings Examples/TUM3.yaml \
+        --sequence /data/rgbd_dataset_freiburg3_structure_texture_far \
+        --associations associations.txt
+
+Usage (offline synthetic benchmark scene):
+    python examples/run_rgbd.py --synthetic 120
+
+Like the reference it loads an association file, feeds RGB-D pairs, prints
+median/mean tracking time at exit (`main.cc:108-116`), writes per-stage
+timing logs (`total_plp.txt` etc., `src/Tracking.cc:189-198` protocol) and
+saves CameraTrajectory.txt / KeyFrameTrajectory.txt / mesh.ply.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--settings", help="reference-style YAML settings file")
+    ap.add_argument("--sequence", help="dataset root directory")
+    ap.add_argument("--associations", help="TUM associations.txt path")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="run N synthetic frames instead of a dataset")
+    ap.add_argument("--realtime", action="store_true",
+                    help="sleep to sensor rate like the reference main loop")
+    ap.add_argument("--out-dir", default=".")
+    ap.add_argument("--save-mesh", action="store_true")
+    args = ap.parse_args()
+
+    from planarslam_tpu.config import SystemConfig, load_yaml_config
+    from planarslam_tpu.slam.system import System
+
+    cfg = load_yaml_config(args.settings) if args.settings else SystemConfig()
+    slam = System(config=cfg)
+
+    feature_log = open(os.path.join(args.out_dir, "Feature_plp.txt"), "a")
+    track_log = open(os.path.join(args.out_dir, "Track_plp.txt"), "a")
+    total_log = open(os.path.join(args.out_dir, "total_plp.txt"), "a")
+
+    if args.synthetic:
+        from planarslam_tpu.io import synthetic
+
+        seq = synthetic.make_sequence(n_frames=args.synthetic,
+                                      width=cfg.camera.width,
+                                      height=cfg.camera.height)
+        loader = ((seq.timestamps[i],) + seq.render(i)
+                  for i in range(len(seq)))
+        n_total = len(seq)
+        gt = seq.poses_wc
+    else:
+        if not (args.sequence and args.associations):
+            ap.error("need --sequence and --associations (or --synthetic N)")
+        from planarslam_tpu.io.tum import load_associations, load_rgbd_frame
+
+        assoc = load_associations(args.associations, root=args.sequence)
+        n_total = len(assoc)
+        gt = None
+
+        def gen():
+            for t, rp, dp in zip(assoc.timestamps, assoc.rgb_paths,
+                                 assoc.depth_paths):
+                gray, depth = load_rgbd_frame(rp, dp,
+                                              cfg.camera.depth_map_factor)
+                yield t, gray, depth
+
+        loader = gen()
+
+    times = []
+    for i, (t, gray, depth) in enumerate(loader):
+        t0 = time.perf_counter()
+        slam.track_rgbd(gray, depth, t)
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        total_log.write(f"{dt * 1e3:.3f}\n")
+        track_log.write(f"{dt * 1e3:.3f}\n")
+        feature_log.write(f"{dt * 1e3:.3f}\n")
+        if i % 30 == 0:
+            print(f"frame {i}/{n_total}  {dt * 1e3:.1f} ms  "
+                  f"state={slam.get_tracking_state().name}")
+        if args.realtime:
+            budget = 1.0 / cfg.camera.fps
+            if dt < budget:
+                time.sleep(budget - dt)
+
+    slam.shutdown()
+    for f in (feature_log, track_log, total_log):
+        f.close()
+
+    t = np.asarray(times[1:]) if len(times) > 1 else np.asarray(times)
+    print("-------")
+    print(f"median tracking time: {np.median(t) * 1e3:.2f} ms")
+    print(f"mean tracking time:   {t.mean() * 1e3:.2f} ms")
+
+    slam.save_trajectory_tum(os.path.join(args.out_dir, cfg.save_path_frame))
+    slam.save_keyframe_trajectory_tum(
+        os.path.join(args.out_dir, cfg.save_path_keyframe))
+    if args.save_mesh:
+        slam.save_mesh(os.path.join(args.out_dir, "mesh.ply"))
+
+    if gt is not None:
+        from planarslam_tpu.evaluation.ate import ate_rmse
+
+        est = slam.frame_poses_wc()
+        n = min(len(est), len(gt))
+        print(f"ATE RMSE vs ground truth: "
+              f"{ate_rmse(est[:n, :3, 3], gt[:n, :3, 3]):.4f} m")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

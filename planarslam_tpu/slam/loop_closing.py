@@ -1,0 +1,156 @@
+"""Loop closing — retrieval, geometric verification, correction.
+
+Replaces the reference's DBoW2-based stack (`src/LoopClosing.cc`,
+`src/KeyFrameDatabase.cc`) with TPU-friendly pieces:
+
+  - retrieval: instead of a vocabulary tree (which needs the external
+    ORBvoc.txt the reference unpacks at build time), each keyframe gets a
+    binary-descriptor *sketch*: every ORB descriptor is quantized to a
+    visual word by sampling `vocab_bits` fixed bit positions (LSH); the KF
+    signature is the tf-normalized word histogram, and similarity is one
+    matmul against all KF signatures (`KeyFrameDatabase::DetectLoopCandidates`
+    role, `src/KeyFrameDatabase.cc:76`);
+  - temporal consistency: candidates must persist across consecutive
+    detections (`src/LoopClosing.cc:152-211` consistency groups, simplified
+    to count-based consistency);
+  - verification: descriptor matching + a Horn/RANSAC SE3 fit between the
+    two KFs' 3D points (`Sim3Solver` with fixed scale=1 for RGB-D, as the
+    reference uses mbFixScale=true), accept at >= sim3_min_inliers;
+  - correction: pose-graph optimization over keyframes
+    (`Optimizer::OptimizeEssentialGraph` `src/Optimizer.cc:2680`) followed
+    by landmark re-anchoring to their reference keyframes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from planarslam_tpu.config import SystemConfig
+from planarslam_tpu.slam.map import SlamMap
+from planarslam_tpu.slam.retrieval import KeyFrameDatabase
+
+
+class LoopClosing:
+    def __init__(self, cfg: SystemConfig, slam_map: SlamMap,
+                 kf_db: Optional[KeyFrameDatabase] = None):
+        self.cfg = cfg
+        self.map = slam_map
+        self.db = kf_db or KeyFrameDatabase(cfg)
+        self._consistency: dict[int, int] = {}  # candidate kf -> streak
+        self.loops_closed = 0
+        self.last_loop_kf = -10 ** 9
+
+    # ------------------------------------------------------------- detection
+    def process_keyframe(self, kf: int) -> Optional[int]:
+        m = self.map
+        self.db.add(m, kf)
+        if kf < self.cfg.loop.min_kf_gap:
+            return None
+        if kf - self.last_loop_kf < self.cfg.loop.min_kf_gap:
+            return None
+
+        cand = self.db.loop_candidates(m, kf)
+
+        # temporal consistency streaks
+        new_streaks: dict[int, int] = {}
+        for c in cand:
+            near = [c + d for d in range(-2, 3)]
+            prev = max((self._consistency.get(n, 0) for n in near), default=0)
+            new_streaks[c] = prev + 1
+        self._consistency = new_streaks
+
+        for c, streak in new_streaks.items():
+            if streak >= self.cfg.loop.consistency_threshold:
+                if self._verify_and_correct(kf, c):
+                    self.loops_closed += 1
+                    self.last_loop_kf = kf
+                    self._consistency.clear()
+                    return c
+        return None
+
+    # ----------------------------------------------------------- verification
+    def _verify_and_correct(self, kf: int, loop_kf: int) -> bool:
+        import jax.numpy as jnp
+
+        from planarslam_tpu.ops import matching
+        from planarslam_tpu.solvers.sim3_solver import horn_ransac_se3
+
+        m = self.map
+        res = matching.match_descriptors(
+            jnp.asarray(m.kf_desc[kf]), jnp.asarray(m.kf_desc[loop_kf]),
+            jnp.asarray(m.kf_feat_valid[kf] & (m.kf_depth[kf] > 0)),
+            jnp.asarray(m.kf_feat_valid[loop_kf] & (m.kf_depth[loop_kf] > 0)),
+            max_dist=self.cfg.matcher.th_low, ratio=0.85)
+        idx = np.asarray(res.idx)
+        ok = idx >= 0
+        if ok.sum() < self.cfg.loop.sim3_min_inliers:
+            return False
+
+        def unproject(k, feat_ids):
+            cam = self.cfg.camera
+            uv = m.kf_uv[k][feat_ids]
+            z = m.kf_depth[k][feat_ids]
+            x = (uv[:, 0] - cam.cx) / cam.fx * z
+            y = (uv[:, 1] - cam.cy) / cam.fy * z
+            return np.stack([x, y, z], -1).astype(np.float32)
+
+        src_ids = np.flatnonzero(ok)
+        pts_kf = unproject(kf, src_ids)          # current KF camera frame
+        pts_loop = unproject(loop_kf, idx[src_ids])  # loop KF camera frame
+        T_lc, n_inl, inl = horn_ransac_se3(pts_loop, pts_kf)  # maps kf->loop
+        if n_inl < self.cfg.loop.sim3_min_inliers:
+            return False
+
+        # corrected current pose through the loop constraint
+        T_loop_w = m.kf_pose[loop_kf]
+        T_c_w_corr = np.linalg.inv(T_lc) @ T_loop_w  # camera(kf)-from-world
+        self._correct(kf, T_c_w_corr.astype(np.float32), loop_kf)
+        return True
+
+    # ------------------------------------------------------------- correction
+    def _correct(self, kf: int, T_cw_corrected: np.ndarray, loop_kf: int
+                 ) -> None:
+        """Pose-graph optimization + landmark re-anchoring
+        (`LoopClosing::CorrectLoop src/LoopClosing.cc:402` +
+        `Optimizer::OptimizeEssentialGraph`)."""
+        from planarslam_tpu.solvers.pose_graph import optimize_pose_graph
+
+        m = self.map
+        ids = m.valid_kf_ids()
+        # record each landmark's anchor KF pose before correction
+        pt_ids = np.flatnonzero(m.pt_valid)
+        pt_anchor = np.clip(m.pt_first_kf[pt_ids], 0, None)
+        anchor_before = m.kf_pose[pt_anchor].copy()
+        ln_ids = np.flatnonzero(m.ln_valid)
+        ln_anchor = np.clip(m.ln_first_kf[ln_ids], 0, None)
+        ln_before = m.kf_pose[ln_anchor].copy()
+
+        new_poses = optimize_pose_graph(
+            m, kf_corrected=kf, T_corrected=T_cw_corrected,
+            loop_kf=loop_kf, cfg=self.cfg)
+        m.kf_pose[ids] = new_poses[ids]
+
+        # re-anchor landmarks: x' = Twc_new * Tcw_old * x
+        def correction(anchor_ids, before):
+            after = m.kf_pose[anchor_ids]
+            return np.einsum("nij,njk->nik",
+                             np.linalg.inv(after), before)
+
+        corr = correction(pt_anchor, anchor_before)
+        xyz_h = np.concatenate([m.pt_xyz[pt_ids],
+                                np.ones((len(pt_ids), 1), np.float32)], axis=1)
+        m.pt_xyz[pt_ids] = np.einsum("nij,nj->ni", corr, xyz_h)[:, :3]
+        corr_l = correction(ln_anchor, ln_before)
+        for arr in (m.ln_sw, m.ln_ew):
+            h = np.concatenate([arr[ln_ids],
+                                np.ones((len(ln_ids), 1), np.float32)], axis=1)
+            arr[ln_ids] = np.einsum("nij,nj->ni", corr_l, h)[:, :3]
+
+        # global BA after the essential-graph correction (the reference
+        # spawns this as the transient 5th thread, `src/LoopClosing.cc:579`;
+        # single-controller design runs it synchronously)
+        from planarslam_tpu.solvers.global_ba import global_bundle_adjustment
+
+        global_bundle_adjustment(m, self.cfg)

@@ -1,0 +1,225 @@
+"""The SLAM map as fixed-capacity struct-of-arrays state.
+
+Replaces the reference's pointer-web data model — Map / KeyFrame / MapPoint /
+MapLine / MapPlane objects with observation dictionaries and mutexes
+(`src/Map.cc`, `src/KeyFrame.cc`, `src/MapPoint.cc`, `src/MapLine.cpp`,
+`src/MapPlane.cc`) — with flat arrays + int32 index tables + validity masks
+(SURVEY.md §7 design stance). Observations are stored the way the reference
+stores them per KeyFrame (mvpMapPoints: feature slot -> landmark id), i.e.
+`kf_pt_idx[kf, feature] = point_id or -1`, which is exactly what batched
+local/global BA needs.
+
+Single-controller: all mutation happens in the host step loop — the
+reference's lock hierarchy (Map::mMutexMapUpdate and friends) has no
+equivalent because there is nothing to race.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from planarslam_tpu.config import SystemConfig
+
+
+class SlamMap:
+    """Host-side global map; device kernels consume gathered windows of it."""
+
+    def __init__(self, cfg: SystemConfig):
+        self.cfg = cfg
+        m = cfg.map
+        kp = cfg.orb.max_keypoints
+        kl = cfg.lines.max_lines
+        pp = cfg.planes.max_planes
+        ld = cfg.lines.desc_dim
+        self.n_kf_slots = m.max_keyframes
+
+        # --- points (MapPoint fields, `include/MapPoint.h`) ------------------
+        self.pt_xyz = np.zeros((m.max_points, 3), np.float32)
+        self.pt_desc = np.zeros((m.max_points, 8), np.uint32)
+        self.pt_normal = np.zeros((m.max_points, 3), np.float32)
+        self.pt_min_dist = np.zeros(m.max_points, np.float32)
+        self.pt_max_dist = np.zeros(m.max_points, np.float32)
+        self.pt_valid = np.zeros(m.max_points, bool)
+        self.pt_nobs = np.zeros(m.max_points, np.int32)
+        self.pt_visible = np.zeros(m.max_points, np.int32)
+        self.pt_found = np.zeros(m.max_points, np.int32)
+        self.pt_first_kf = np.full(m.max_points, -1, np.int32)
+        self.pt_on_plane = np.zeros(m.max_points, bool)  # SetAssociatedWithPlaneFlag
+
+        # --- lines (MapLine fields, `include/MapLine.h:24`) ------------------
+        self.ln_sw = np.zeros((m.max_lines, 3), np.float32)
+        self.ln_ew = np.zeros((m.max_lines, 3), np.float32)
+        self.ln_desc = np.zeros((m.max_lines, ld), np.float32)
+        self.ln_valid = np.zeros(m.max_lines, bool)
+        self.ln_nobs = np.zeros(m.max_lines, np.int32)
+        self.ln_first_kf = np.full(m.max_lines, -1, np.int32)
+
+        # --- planes (MapPlane fields, `include/MapPlane.h:23`) ---------------
+        self.pl_coeffs = np.zeros((m.max_planes, 4), np.float32)
+        self.pl_valid = np.zeros(m.max_planes, bool)
+        self.pl_nobs = np.zeros(m.max_planes, np.int32)
+        self.pl_first_kf = np.full(m.max_planes, -1, np.int32)
+        self.pl_cloud = np.zeros((m.max_planes, m.plane_cloud_capacity, 3),
+                                 np.float32)
+        self.pl_cloud_n = np.zeros(m.max_planes, np.int32)
+
+        # --- keyframes (KeyFrame fields, `include/KeyFrame.h:53-304`) --------
+        self.kf_pose = np.tile(np.eye(4, dtype=np.float32),
+                               (m.max_keyframes, 1, 1))  # T_cw
+        self.kf_valid = np.zeros(m.max_keyframes, bool)
+        self.kf_frame_id = np.full(m.max_keyframes, -1, np.int64)
+        self.kf_timestamp = np.zeros(m.max_keyframes, np.float64)
+        # per-KF feature snapshots (immutable after insertion)
+        self.kf_uv = np.zeros((m.max_keyframes, kp, 2), np.float32)
+        self.kf_ur = np.full((m.max_keyframes, kp), -1.0, np.float32)
+        self.kf_depth = np.full((m.max_keyframes, kp), -1.0, np.float32)
+        self.kf_level = np.zeros((m.max_keyframes, kp), np.int32)
+        self.kf_angle = np.zeros((m.max_keyframes, kp), np.float32)
+        self.kf_desc = np.zeros((m.max_keyframes, kp, 8), np.uint32)
+        self.kf_feat_valid = np.zeros((m.max_keyframes, kp), bool)
+        # associations: feature slot -> landmark id (-1)
+        self.kf_pt_idx = np.full((m.max_keyframes, kp), -1, np.int32)
+        self.kf_ln_idx = np.full((m.max_keyframes, kl), -1, np.int32)
+        self.kf_pl_idx = np.full((m.max_keyframes, pp), -1, np.int32)
+        self.kf_pl_par_idx = np.full((m.max_keyframes, pp), -1, np.int32)  # parallel obs
+        self.kf_pl_ver_idx = np.full((m.max_keyframes, pp), -1, np.int32)  # vertical obs
+        self.kf_pl_coeffs = np.zeros((m.max_keyframes, pp, 4), np.float32)
+        self.kf_ln_line2d = np.zeros((m.max_keyframes, kl, 3), np.float32)
+        self.kf_ln_desc = np.zeros((m.max_keyframes, kl, ld), np.float32)
+        self.kf_ln_valid = np.zeros((m.max_keyframes, kl), bool)
+        # BoW-style retrieval sketch per KF (loop closing)
+        self.kf_bow = np.zeros((m.max_keyframes, 1 << cfg.loop.vocab_bits),
+                               np.float32)
+
+        # covisibility weights (shared observed points)
+        self.covis = np.zeros((m.max_keyframes, m.max_keyframes), np.int32)
+        # spanning tree parent (for trajectory save of culled KFs)
+        self.kf_parent = np.full(m.max_keyframes, -1, np.int32)
+
+        self.n_kf = 0  # next keyframe slot (monotonic)
+        self.next_pt = 0
+        self.next_ln = 0
+        self.next_pl = 0
+
+    # -- allocation helpers ---------------------------------------------------
+    def alloc_points(self, k: int) -> np.ndarray:
+        """Return k free point slots (recycling invalidated ones)."""
+        free = np.flatnonzero(~self.pt_valid[:max(self.next_pt + k,
+                                                  len(self.pt_valid))])
+        if len(free) < k:
+            raise RuntimeError("map point capacity exhausted")
+        self.next_pt = max(self.next_pt, int(free[k - 1]) + 1)
+        return free[:k]
+
+    def alloc_lines(self, k: int) -> np.ndarray:
+        free = np.flatnonzero(~self.ln_valid)
+        if len(free) < k:
+            raise RuntimeError("map line capacity exhausted")
+        return free[:k]
+
+    def alloc_plane(self) -> int:
+        free = np.flatnonzero(~self.pl_valid)
+        if len(free) == 0:
+            raise RuntimeError("map plane capacity exhausted")
+        return int(free[0])
+
+    def alloc_keyframe(self) -> int:
+        if self.n_kf >= self.n_kf_slots:
+            raise RuntimeError("keyframe capacity exhausted")
+        kf = self.n_kf
+        self.n_kf += 1
+        return kf
+
+    # -- queries --------------------------------------------------------------
+    def valid_kf_ids(self) -> np.ndarray:
+        return np.flatnonzero(self.kf_valid[:self.n_kf])
+
+    def covisible_kfs(self, kf: int, min_weight: Optional[int] = None
+                      ) -> np.ndarray:
+        """KFs ordered by shared-point weight (reference covisibility graph,
+        `KeyFrame::UpdateConnections`)."""
+        w = self.covis[kf, :self.n_kf].copy()
+        w[~self.kf_valid[:self.n_kf]] = 0
+        if min_weight is None:
+            min_weight = self.cfg.map.covis_min_weight
+        ids = np.flatnonzero(w >= min_weight)
+        return ids[np.argsort(-w[ids])]
+
+    def update_covisibility(self, kf: int) -> None:
+        """Recompute covisibility weights for one KF from shared points."""
+        own = self.kf_pt_idx[kf]
+        own = own[own >= 0]
+        if len(own) == 0:
+            return
+        mask = np.zeros(len(self.pt_valid), bool)
+        mask[own] = True
+        for other in self.valid_kf_ids():
+            if other == kf:
+                continue
+            o = self.kf_pt_idx[other]
+            o = o[o >= 0]
+            w = int(mask[o].sum()) if len(o) else 0
+            self.covis[kf, other] = w
+            self.covis[other, kf] = w
+        # spanning tree: parent = strongest covisible older KF
+        older = self.covis[kf, :kf]
+        if kf > 0 and older.max(initial=0) > 0:
+            self.kf_parent[kf] = int(np.argmax(older))
+
+    def local_map_points(self, kf_ids: np.ndarray, cap: int) -> np.ndarray:
+        """Union of point ids observed by the given KFs, padded to cap."""
+        ids = np.unique(self.kf_pt_idx[kf_ids].reshape(-1))
+        ids = ids[(ids >= 0) & self.pt_valid[np.clip(ids, 0, None)]]
+        if len(ids) > cap:
+            # prefer the most-observed points
+            ids = ids[np.argsort(-self.pt_nobs[ids])][:cap]
+        return ids
+
+    def local_map_lines(self, kf_ids: np.ndarray, cap: int) -> np.ndarray:
+        ids = np.unique(self.kf_ln_idx[kf_ids].reshape(-1))
+        ids = ids[(ids >= 0) & self.ln_valid[np.clip(ids, 0, None)]]
+        return ids[:cap]
+
+    # -- plane clouds ---------------------------------------------------------
+    def add_plane_cloud(self, pl: int, pts_w: np.ndarray) -> None:
+        """Merge new world points into a plane's voxel-hashed cloud
+        (the role of MapPlane::UpdateCoefficientsAndPoints voxel filtering,
+        `src/MapPlane.cc:298-366`)."""
+        cap = self.pl_cloud.shape[1]
+        leaf = self.cfg.planes.leaf_size * 4.0
+        cur_n = int(self.pl_cloud_n[pl])
+        allpts = np.concatenate([self.pl_cloud[pl, :cur_n], pts_w], axis=0)
+        key = np.floor(allpts / leaf).astype(np.int64)
+        # hash voxels; keep one point per voxel (first occurrence = older)
+        h = (key[:, 0] * 73856093) ^ (key[:, 1] * 19349663) ^ (key[:, 2] * 83492791)
+        _, first = np.unique(h, return_index=True)
+        kept = allpts[np.sort(first)]
+        if len(kept) > cap:
+            step = len(kept) / cap
+            kept = kept[(np.arange(cap) * step).astype(int)]
+        self.pl_cloud[pl, :len(kept)] = kept
+        self.pl_cloud_n[pl] = len(kept)
+
+    def plane_min_dist_to_cloud(self, coeffs_w: np.ndarray, pl: int) -> float:
+        """Min |n.x + d| over the plane's cloud (PlaneMatcher's
+        point-to-plane association test, `src/PlaneMatcher.cpp:30-60`)."""
+        n = int(self.pl_cloud_n[pl])
+        if n == 0:
+            return np.inf
+        pts = self.pl_cloud[pl, :n]
+        c = coeffs_w / max(np.linalg.norm(coeffs_w[:3]), 1e-9)
+        return float(np.abs(pts @ c[:3] + c[3]).min())
+
+    # -- landmark bookkeeping -------------------------------------------------
+    def erase_point(self, ids: np.ndarray) -> None:
+        self.pt_valid[ids] = False
+        # lazily leave stale ids in kf_pt_idx; readers mask via pt_valid
+
+    def point_stats_update(self, ids: np.ndarray, found_mask: np.ndarray) -> None:
+        """Track the found/visible ratio used by culling
+        (`MapPoint::IncreaseFound/IncreaseVisible`)."""
+        self.pt_visible[ids] += 1
+        self.pt_found[ids[found_mask]] += 1

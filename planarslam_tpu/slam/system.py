@@ -1,0 +1,152 @@
+"""System facade — the public API (reference `include/System.h:50-171`).
+
+Same surface as the reference: construct from a settings file (or a
+SystemConfig), feed frames with TrackRGBD, toggle localization mode, Reset,
+Shutdown, save TUM-format trajectories
+(`src/System.cc:100,152-170,192-320`). No vocabulary file is needed — loop
+retrieval uses on-device descriptor sketching instead of DBoW2.
+
+Thread model: the reference spawns LocalMapping/LoopClosing/Viewer threads
+(`src/System.cc:72-86`); here mapping and loop closing run as deterministic
+synchronous stages inside TrackRGBD (single-controller design — SURVEY.md
+§5.8), which removes the reference's entire lock hierarchy.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from planarslam_tpu.config import SystemConfig, load_yaml_config
+from planarslam_tpu.slam.local_mapping import LocalMapping
+from planarslam_tpu.slam.map import SlamMap
+from planarslam_tpu.slam.tracking import Tracking, TrackingState
+
+
+class System:
+    def __init__(self, settings: Optional[str] = None,
+                 config: Optional[SystemConfig] = None,
+                 enable_local_mapping: bool = True,
+                 enable_loop_closing: bool = True):
+        if config is None:
+            config = load_yaml_config(settings) if settings else SystemConfig()
+        from planarslam_tpu.slam.retrieval import KeyFrameDatabase
+
+        self.cfg = config
+        self.map = SlamMap(config)
+        self.kf_db = KeyFrameDatabase(config)
+        self.tracker = Tracking(config, self.map, kf_db=self.kf_db)
+        self.local_mapper = LocalMapping(config, self.map) \
+            if enable_local_mapping else None
+        self.loop_closer = None
+        if enable_loop_closing:
+            from planarslam_tpu.slam.loop_closing import LoopClosing
+
+            self.loop_closer = LoopClosing(config, self.map, kf_db=self.kf_db)
+        self.localization_only = False
+        self.timings: List[float] = []
+        self._timestamps: List[float] = []
+
+    # ------------------------------------------------------------- main API
+    def track_rgbd(self, gray: np.ndarray, depth: np.ndarray,
+                   timestamp: float) -> Optional[np.ndarray]:
+        """Process one frame; returns T_cw (reference `System::TrackRGBD`,
+        `src/System.cc:100`). gray: (H, W) float/uint8; depth: metres."""
+        t0 = time.perf_counter()
+        gray = np.asarray(gray, np.float32)
+        depth = np.asarray(depth, np.float32)
+        n_kf_before = self.map.n_kf
+        pose = self.tracker.track(gray, depth, timestamp)
+        if self.map.n_kf > n_kf_before:
+            kf = self.map.n_kf - 1
+            self.kf_db.add(self.map, kf)
+            if not self.localization_only:
+                if self.local_mapper is not None:
+                    self.local_mapper.process_keyframe(kf)
+                if self.loop_closer is not None:
+                    self.loop_closer.process_keyframe(kf)
+        self.timings.append(time.perf_counter() - t0)
+        self._timestamps.append(timestamp)
+        return pose
+
+    # alias matching the reference method name
+    TrackRGBD = track_rgbd
+
+    def activate_localization_mode(self):
+        """Reference `System::ActivateLocalizationMode` (`src/System.cc:152`)."""
+        self.localization_only = True
+        self.tracker.only_tracking = True
+
+    def deactivate_localization_mode(self):
+        self.localization_only = False
+        self.tracker.only_tracking = False
+
+    def reset(self):
+        """Reference `System::Reset` -> `Tracking::Reset` (clears map/ids)."""
+        self.map = SlamMap(self.cfg)
+        self.tracker = Tracking(self.cfg, self.map, kf_db=self.kf_db)
+        if self.local_mapper is not None:
+            self.local_mapper = LocalMapping(self.cfg, self.map)
+        if self.loop_closer is not None:
+            from planarslam_tpu.slam.loop_closing import LoopClosing
+
+            self.loop_closer = LoopClosing(self.cfg, self.map,
+                                           kf_db=self.kf_db)
+        self.timings.clear()
+        self._timestamps.clear()
+
+    def shutdown(self):
+        """No threads to join (single-controller); kept for API parity with
+        `System::Shutdown` (`src/System.cc:170`)."""
+
+    def get_tracking_state(self) -> TrackingState:
+        return self.tracker.state
+
+    def n_tracked_points(self) -> int:
+        return self.tracker.n_inliers
+
+    # ------------------------------------------------------------ trajectory
+    def frame_poses_wc(self) -> np.ndarray:
+        """Per-frame camera-to-world poses chained through reference KFs
+        (reference `SaveTrajectoryTUM` semantics, `src/System.cc:192-251`:
+        relative pose times the *current* KF estimate, so BA/loop corrections
+        propagate to all frames)."""
+        out = []
+        for rec in self.tracker.records:
+            T_rw = self.map.kf_pose[rec.ref_kf]
+            T_cw = rec.T_cr @ T_rw
+            out.append(np.linalg.inv(T_cw))
+        return np.asarray(out)
+
+    def save_trajectory_tum(self, path: str) -> None:
+        from planarslam_tpu.io.tum import write_trajectory_tum
+
+        ts = [r.timestamp for r in self.tracker.records]
+        write_trajectory_tum(path, ts, self.frame_poses_wc())
+
+    def save_keyframe_trajectory_tum(self, path: str) -> None:
+        """Reference `SaveKeyFrameTrajectoryTUM` (`src/System.cc:254`)."""
+        from planarslam_tpu.io.tum import write_trajectory_tum
+
+        ids = self.map.valid_kf_ids()
+        poses = np.asarray([np.linalg.inv(self.map.kf_pose[k]) for k in ids])
+        ts = self.map.kf_timestamp[ids]
+        write_trajectory_tum(path, ts, poses)
+
+    def save_mesh(self, path: str) -> None:
+        """Planar mesh export (reference `System::SaveMesh`,
+        `src/System.cc:322` -> `MeshViewer::SaveMeshModel`)."""
+        from planarslam_tpu.viz.mesh import save_planar_mesh
+
+        save_planar_mesh(path, self.map)
+
+    # ------------------------------------------------------------- reporting
+    def timing_summary(self) -> dict:
+        t = np.asarray(self.timings[1:]) if len(self.timings) > 1 else \
+            np.asarray(self.timings)
+        if len(t) == 0:
+            return {"median_s": 0.0, "mean_s": 0.0, "fps": 0.0}
+        return {"median_s": float(np.median(t)), "mean_s": float(t.mean()),
+                "fps": float(1.0 / np.median(t))}

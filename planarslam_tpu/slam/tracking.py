@@ -1,0 +1,721 @@
+"""The per-frame tracking state machine (host orchestration).
+
+Rebuild of the reference front end `Tracking::Track` (`src/Tracking.cc:206-437`)
+with the same stage order:
+
+  NOT_INITIALIZED -> StereoInitialization (`:1159`) creating KF0 + all three
+  landmark types and seeding the Manhattan frame; then per frame:
+    1. Manhattan rotation tracking (`TrackManhattanFrame :963`) from surface
+       normals, predicting rotation independently of translation;
+    2. translation estimation against the last frame with the rotation frozen
+       (`TranslationWithMotionModel :1739` / `TranslationEstimation :1624` ->
+       `Optimizer::TranslationOptimization src/Optimizer.cc:2995`), falling
+       back to full pose optimization when Manhattan tracking fails;
+    3. local-map tracking (`TrackLocalMap :1954`): covisibility-local points
+       and lines via projection search, plane association incl.
+       parallel/vertical tagging (`src/PlaneMatcher.cpp:10-81`), full pose
+       optimization over all residual types;
+    4. keyframe policy (`NeedNewKeyFrame :2049`, plane-forced insertion) and
+       creation (`CreateNewKeyFrame :2139`).
+
+All O(pixels)/O(features^2)/O(iterations) work runs in jitted device
+kernels; this module is branchy glue over numpy views of the map arrays.
+Deterministic by construction (no threads, fixed seeds).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from planarslam_tpu.config import SystemConfig
+from planarslam_tpu.geometry import plane as plane_geo
+from planarslam_tpu.geometry import se3
+from planarslam_tpu.ops import manhattan as manhattan_ops
+from planarslam_tpu.ops import matching
+from planarslam_tpu.ops.lines import match_lines
+from planarslam_tpu.slam.frame import FrameFeatures, extract_frame, unproject_points
+from planarslam_tpu.slam.map import SlamMap
+from planarslam_tpu.solvers import pose_opt
+
+
+class TrackingState(enum.Enum):
+    """Reference `include/Tracking.h:87-93` eTrackingState."""
+
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    LOST = 3
+
+
+@dataclass
+class LastFrame:
+    feats: FrameFeatures
+    T_cw: np.ndarray
+    pt3d_w: np.ndarray      # (K, 3) world points for features with depth
+    map_pt: np.ndarray      # (K,) map point id per feature or -1
+    map_ln: np.ndarray      # (L,) map line id per line or -1
+
+
+@dataclass
+class FrameRecord:
+    timestamp: float
+    T_cr: np.ndarray        # pose relative to reference KF (Tcw * Trw^-1)
+    ref_kf: int
+    lost: bool
+
+
+class Tracking:
+    def __init__(self, cfg: SystemConfig, slam_map: SlamMap, kf_db=None):
+        from planarslam_tpu.slam.retrieval import KeyFrameDatabase
+
+        self.cfg = cfg
+        self.map = slam_map
+        self.kf_db = kf_db or KeyFrameDatabase(cfg)
+        self.state = TrackingState.NO_IMAGES_YET
+        self.T_cw = np.eye(4, dtype=np.float32)
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.R_wm: Optional[np.ndarray] = None  # world-from-Manhattan
+        self.last: Optional[LastFrame] = None
+        self.ref_kf = -1
+        self.frame_id = -1
+        self.last_kf_frame_id = -1
+        self.records: List[FrameRecord] = []
+        self.only_tracking = False  # localization mode: no map growth
+        self.new_plane_flag = False
+        self.manhattan_ok = False
+        self.n_inliers = 0
+        # per-level inverse sigma^2 (reference mvInvLevelSigma2)
+        s2 = cfg.orb.scale_factor ** (2 * np.arange(cfg.orb.n_levels))
+        self.inv_level_sigma2 = (1.0 / s2).astype(np.float32)
+        self.K = (cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy)
+        self.wh = (float(cfg.camera.width), float(cfg.camera.height))
+        self._search_frame = partial(
+            jax.jit(matching.search_by_projection,
+                    static_argnames=("K", "image_wh", "bf", "scale_factor",
+                                     "radius", "max_dist", "ratio",
+                                     "level_window")),
+            K=self.K, image_wh=self.wh, bf=cfg.camera.bf,
+            scale_factor=cfg.orb.scale_factor)
+        self.stats = {"manhattan_success": 0, "translation_only": 0,
+                      "full_pose": 0, "frames": 0, "kfs": 0, "lost": 0}
+
+    # ------------------------------------------------------------------ utils
+    def _point_obs_from_matches(self, feats: FrameFeatures, pts_w: np.ndarray,
+                                match_idx: np.ndarray) -> pose_opt.PointObs:
+        """Build the padded PointObs block for pose optimization.
+
+        pts_w: (M, 3) landmark world positions; match_idx: (M,) feature index
+        or -1. The block is sized by the frame's keypoint capacity.
+        """
+        kp = self.cfg.orb.max_keypoints
+        uv = np.asarray(feats.points.uv)
+        ur = np.asarray(feats.points.u_right)
+        lvl = np.asarray(feats.points.level)
+        xw = np.zeros((kp, 3), np.float32)
+        uv_o = np.zeros((kp, 2), np.float32)
+        ur_o = np.full(kp, -1.0, np.float32)
+        is2 = np.zeros(kp, np.float32)
+        valid = np.zeros(kp, bool)
+        inv_s2 = np.ones(kp, np.float32)
+        ok = match_idx >= 0
+        fi = match_idx[ok]
+        xw[fi] = pts_w[ok]
+        uv_o[fi] = uv[fi]
+        ur_o[fi] = ur[fi]
+        valid[fi] = True
+        inv_s2[fi] = self.inv_level_sigma2[lvl[fi]]
+        return pose_opt.PointObs(
+            xw=jnp.asarray(xw), uv=jnp.asarray(uv_o),
+            u_right=jnp.asarray(ur_o), inv_sigma2=jnp.asarray(inv_s2),
+            valid=jnp.asarray(valid))
+
+    def _run_pose_opt(self, T_init, points=None, lines=None, planes=None,
+                      par=None, ver=None, rotation_fixed=False):
+        w = pose_opt.PoseOptWeights.from_config(self.cfg.planes)
+        return pose_opt.pose_optimize(
+            jnp.asarray(T_init.astype(np.float32)), self.K,
+            self.cfg.camera.bf, points=points, lines=lines, planes=planes,
+            par_planes=par, ver_planes=ver, weights=w,
+            rotation_fixed=rotation_fixed)
+
+    # ------------------------------------------------------- main entry point
+    def track(self, gray: np.ndarray, depth: np.ndarray,
+              timestamp: float) -> Optional[np.ndarray]:
+        """Process one RGB-D frame; returns T_cw (or None before init)."""
+        self.frame_id += 1
+        self.stats["frames"] += 1
+        self._last_depth = np.asarray(depth, np.float32)
+        feats = extract_frame(jnp.asarray(gray, dtype=jnp.float32),
+                              jnp.asarray(depth, dtype=jnp.float32), self.cfg)
+
+        if self.state in (TrackingState.NO_IMAGES_YET,
+                          TrackingState.NOT_INITIALIZED):
+            self._stereo_initialization(feats, timestamp)
+            return self.T_cw.copy()
+
+        ok = self._track_frame(feats, timestamp)
+        if not ok:
+            self.stats["lost"] += 1
+            self.state = TrackingState.LOST
+
+        # trajectory bookkeeping relative to the reference KF
+        T_rw = self.map.kf_pose[self.ref_kf]
+        T_cr = self.T_cw @ np.linalg.inv(T_rw)
+        self.records.append(FrameRecord(timestamp, T_cr.astype(np.float32),
+                                        self.ref_kf,
+                                        self.state == TrackingState.LOST))
+        return self.T_cw.copy()
+
+    # ------------------------------------------------------ initialization
+    def _stereo_initialization(self, feats: FrameFeatures, timestamp: float
+                               ) -> None:
+        """Reference `Tracking::StereoInitialization` (`src/Tracking.cc:1159`)."""
+        n_depth = int((np.asarray(feats.points.depth) > 0).sum())
+        if n_depth < 50:
+            return  # wait for a frame with depth
+        self.T_cw = np.eye(4, dtype=np.float32)
+        kf = self._create_keyframe(feats, timestamp,
+                                   np.full(self.cfg.orb.max_keypoints, -1,
+                                           np.int32),
+                                   np.full(self.cfg.lines.max_lines, -1,
+                                           np.int32),
+                                   plane_matches=None)
+        self.ref_kf = kf
+        # Manhattan seed from plane normals (Map::FindManhattan role)
+        R_seed, seed_ok = manhattan_ops.seed_from_plane_normals(
+            feats.planes.coeffs[:, :3], feats.planes.count, feats.planes.valid)
+        res = manhattan_ops.track_manhattan_frame(
+            R_seed, feats.normals, feats.normals_valid,
+            cone_sin=self.cfg.manhattan.cone_sin_project,
+            kernel=self.cfg.manhattan.mean_shift_kernel,
+            min_support=self.cfg.manhattan.min_axis_support)
+        if bool(seed_ok) and bool(res.success):
+            # camera == world at init, so R_wm = R_cm
+            self.R_wm = np.asarray(res.R_cm)
+        self._set_last(feats)
+        self.state = TrackingState.OK
+        self.records.append(FrameRecord(timestamp,
+                                        np.eye(4, dtype=np.float32), kf,
+                                        False))
+
+    def _set_last(self, feats: FrameFeatures,
+                  map_pt: Optional[np.ndarray] = None,
+                  map_ln: Optional[np.ndarray] = None) -> None:
+        T_wc = np.linalg.inv(self.T_cw)
+        pt3d = unproject_points(feats.points, self.cfg, T_wc)
+        if map_pt is None:
+            map_pt = self.map.kf_pt_idx[self.ref_kf].copy()
+        if map_ln is None:
+            map_ln = np.full(self.cfg.lines.max_lines, -1, np.int32)
+        self.last = LastFrame(feats=feats, T_cw=self.T_cw.copy(),
+                              pt3d_w=pt3d, map_pt=map_pt, map_ln=map_ln)
+
+    # ------------------------------------------------------- frame tracking
+    def _track_frame(self, feats: FrameFeatures, timestamp: float) -> bool:
+        cfg = self.cfg
+        if self.state == TrackingState.LOST:
+            reloc = self._relocalize(feats)
+            if reloc is None:
+                return False
+            cur_map_pt = reloc
+            self.velocity = np.eye(4, dtype=np.float32)
+            ok_local, cur_map_pt, cur_map_ln, plane_matches = \
+                self._track_local_map(feats, cur_map_pt)
+            if not ok_local:
+                return False
+            self._set_last(feats, cur_map_pt, cur_map_ln)
+            self.state = TrackingState.OK
+            return True
+        T_pred = (self.velocity @ self.T_cw).astype(np.float32)
+
+        # 1. Manhattan rotation tracking
+        R_manh = None
+        if self.R_wm is not None:
+            R_cm_pred = (T_pred[:3, :3] @ self.R_wm).astype(np.float32)
+            res = manhattan_ops.track_manhattan_frame(
+                jnp.asarray(R_cm_pred), feats.normals, feats.normals_valid,
+                cone_sin=cfg.manhattan.cone_sin_track,
+                kernel=cfg.manhattan.mean_shift_kernel,
+                min_support=cfg.manhattan.min_axis_support)
+            if bool(res.success):
+                R_manh = np.asarray(res.R_cm) @ self.R_wm.T
+                self.stats["manhattan_success"] += 1
+        self.manhattan_ok = R_manh is not None
+
+        # 2. translation estimation against the last frame
+        T_init = T_pred.copy()
+        if R_manh is not None:
+            T_init[:3, :3] = R_manh
+        last = self.last
+        has3d = np.asarray(last.feats.points.depth) > 0
+        res_m = self._search_frame(
+            pts_w=jnp.asarray(last.pt3d_w),
+            descs=last.feats.points.desc,
+            valid_pts=jnp.asarray(has3d & np.asarray(last.feats.points.valid)),
+            T_cw=jnp.asarray(T_init),
+            feat_uv=feats.points.uv, feat_desc=feats.points.desc,
+            feat_level=feats.points.level, feat_valid=feats.points.valid,
+            feat_ur=feats.points.u_right,
+            radius=15.0, max_dist=cfg.matcher.th_high,
+            level_window=cfg.orb.n_levels)
+        idx = np.asarray(res_m.idx)
+        n_matches = int((idx >= 0).sum())
+        if n_matches < 20:
+            # brute-force fallback (reference `MatchORBPoints` fallback,
+            # `src/Tracking.cc:1762-1766`)
+            res_bf = matching.match_descriptors(
+                last.feats.points.desc, feats.points.desc,
+                jnp.asarray(has3d & np.asarray(last.feats.points.valid)),
+                feats.points.valid, max_dist=cfg.matcher.th_low, ratio=0.9)
+            idx = np.asarray(res_bf.idx)
+            n_matches = int((idx >= 0).sum())
+        if n_matches >= cfg.tracking.min_matches_track:
+            obs = self._point_obs_from_matches(feats, last.pt3d_w, idx)
+            rot_fixed = R_manh is not None
+            result = self._run_pose_opt(T_init, points=obs,
+                                        rotation_fixed=rot_fixed)
+            if rot_fixed:
+                self.stats["translation_only"] += 1
+            else:
+                self.stats["full_pose"] += 1
+            if int(result.n_point_inliers) >= cfg.tracking.min_matches_track:
+                self.T_cw = np.asarray(result.T_cw)
+            else:
+                self.T_cw = T_init  # rollback (reference `:1730-1734`)
+        else:
+            self.T_cw = T_init
+
+        # carry map-point associations from last frame into current features
+        cur_map_pt = np.full(cfg.orb.max_keypoints, -1, np.int32)
+        ok = idx >= 0
+        cur_map_pt[idx[ok]] = last.map_pt[ok]
+
+        # 3. track local map
+        ok_local, cur_map_pt, cur_map_ln, plane_matches = \
+            self._track_local_map(feats, cur_map_pt)
+
+        if not ok_local:
+            return False
+
+        # velocity update (`src/Tracking.cc:311-317`)
+        self.velocity = (self.T_cw @ np.linalg.inv(last.T_cw)).astype(np.float32)
+
+        # 4. keyframe policy
+        if self._need_new_keyframe(feats, cur_map_pt):
+            kf = self._create_keyframe(feats, timestamp, cur_map_pt,
+                                       cur_map_ln, plane_matches)
+            self.ref_kf = kf
+            self.last_kf_frame_id = self.frame_id
+            self.stats["kfs"] += 1
+
+        self._set_last(feats, cur_map_pt, cur_map_ln)
+        self.state = TrackingState.OK
+        return True
+
+    # ------------------------------------------------------- relocalization
+    def _relocalize(self, feats: FrameFeatures) -> Optional[np.ndarray]:
+        """Reference `Tracking::Relocalization` (`src/Tracking.cc:2554`):
+        retrieval candidates -> descriptor matching against candidate KF
+        landmarks -> PnP RANSAC -> pose refinement. Returns the recovered
+        feature->map-point association or None."""
+        from planarslam_tpu.solvers.pnp import pnp_ransac
+
+        cfg = self.cfg
+        m = self.map
+        desc_np = np.asarray(feats.points.desc)
+        valid_np = np.asarray(feats.points.valid)
+        cands = self.kf_db.reloc_candidates(m, desc_np, valid_np)
+        uv = np.asarray(feats.points.uv)
+        lvl = np.asarray(feats.points.level)
+        for c in cands:
+            if not m.kf_valid[c]:
+                continue
+            row = m.kf_pt_idx[c]
+            has_pt = (row >= 0) & m.pt_valid[np.clip(row, 0, None)]
+            res = matching.match_descriptors(
+                jnp.asarray(m.kf_desc[c]), feats.points.desc,
+                jnp.asarray(has_pt), feats.points.valid,
+                max_dist=cfg.matcher.th_low, ratio=0.9)
+            idx = np.asarray(res.idx)
+            ok = idx >= 0
+            if ok.sum() < 12:
+                continue
+            pt_ids = row[ok]
+            feat_ids = idx[ok]
+            T, inl, n_inl = pnp_ransac(
+                m.pt_xyz[pt_ids], uv[feat_ids],
+                np.ones(len(pt_ids), bool), self.K,
+                inv_sigma2=self.inv_level_sigma2[lvl[feat_ids]])
+            if n_inl < 10:
+                continue
+            # refine with the pose optimizer
+            match_idx = np.full(cfg.orb.max_keypoints, -1, np.int32)
+            match_idx[:] = -1
+            cur_map_pt = np.full(cfg.orb.max_keypoints, -1, np.int32)
+            sel = np.flatnonzero(inl)
+            cur_map_pt[feat_ids[sel]] = pt_ids[sel]
+            obs = self._point_obs_from_matches(
+                feats, m.pt_xyz[np.clip(cur_map_pt, 0, None)],
+                np.where(cur_map_pt >= 0,
+                         np.arange(cfg.orb.max_keypoints), -1))
+            result = self._run_pose_opt(T, points=obs)
+            if int(result.n_point_inliers) >= max(
+                    15, cfg.tracking.min_matches_track):
+                self.T_cw = np.asarray(result.T_cw)
+                self.ref_kf = c
+                self.stats["relocalizations"] = \
+                    self.stats.get("relocalizations", 0) + 1
+                inlier_mask = np.asarray(result.point_inlier)
+                return np.where(inlier_mask | (cur_map_pt < 0),
+                                cur_map_pt, -1)
+        return None
+
+    # ------------------------------------------------------ local map tracking
+    def _track_local_map(self, feats: FrameFeatures, cur_map_pt: np.ndarray
+                         ) -> Tuple[bool, np.ndarray, np.ndarray, dict]:
+        cfg = self.cfg
+        m = self.map
+
+        # local KFs: voters for currently matched points + their best covisibles
+        # (reference UpdateLocalKeyFrames `src/Tracking.cc:2458`)
+        matched = cur_map_pt[cur_map_pt >= 0]
+        kf_ids = set()
+        if len(matched) > 0:
+            obs_mask = np.isin(m.kf_pt_idx[:m.n_kf], matched) \
+                & m.kf_valid[:m.n_kf, None]
+            votes = obs_mask.sum(axis=1)
+            voters = np.argsort(-votes)[:10]
+            for k in voters:
+                if votes[k] > 0:
+                    kf_ids.add(int(k))
+                    for c in m.covisible_kfs(int(k))[:5]:
+                        kf_ids.add(int(c))
+        if not kf_ids:
+            kf_ids = {self.ref_kf}
+        kf_ids = np.asarray(sorted(kf_ids), np.int32)
+        # new reference KF = most-voted
+        self.ref_kf = int(kf_ids[0]) if len(kf_ids) else self.ref_kf
+
+        # local points
+        pt_ids = m.local_map_points(kf_ids, cap=4096)
+        if len(pt_ids) == 0:
+            return False, cur_map_pt, np.full(cfg.lines.max_lines, -1,
+                                              np.int32), {}
+        pad = 4096 - len(pt_ids)
+        ids_p = np.pad(pt_ids, (0, pad), constant_values=0)
+        valid_p = np.zeros(4096, bool)
+        valid_p[:len(pt_ids)] = True
+        res = self._search_frame(
+            pts_w=jnp.asarray(m.pt_xyz[ids_p]),
+            descs=jnp.asarray(m.pt_desc[ids_p]),
+            valid_pts=jnp.asarray(valid_p),
+            T_cw=jnp.asarray(self.T_cw),
+            feat_uv=feats.points.uv, feat_desc=feats.points.desc,
+            feat_level=feats.points.level, feat_valid=feats.points.valid,
+            feat_ur=feats.points.u_right,
+            radius=4.0, max_dist=cfg.matcher.th_high,
+            view_normals=jnp.asarray(m.pt_normal[ids_p]),
+            dist_range=(jnp.asarray(m.pt_min_dist[ids_p]),
+                        jnp.asarray(m.pt_max_dist[ids_p])),
+            level_window=1)
+        idx = np.asarray(res.idx)
+        found = idx >= 0
+        m.point_stats_update(pt_ids, found[:len(pt_ids)])
+
+        # merge with existing associations (projection wins on conflict-free
+        # slots; keep prior association if both target the same feature)
+        new_map_pt = cur_map_pt.copy()
+        fi = idx[found]
+        new_map_pt[fi] = ids_p[found]
+
+        # local lines (projection-free descriptor match against local map lines)
+        ln_ids = m.local_map_lines(kf_ids, cap=cfg.map.max_lines)
+        cur_map_ln = np.full(cfg.lines.max_lines, -1, np.int32)
+        line_obs = None
+        if len(ln_ids) > 0:
+            lcap = self.cfg.map.max_lines
+            padl = lcap - len(ln_ids)
+            ids_l = np.pad(ln_ids, (0, padl), constant_values=0)
+            valid_l = np.zeros(lcap, bool)
+            valid_l[:len(ln_ids)] = True
+            # angle gate needs projected angles; use descriptor-only gate here
+            midx, _ = match_lines(
+                jnp.asarray(m.ln_desc[ids_l]), feats.lines.desc,
+                jnp.asarray(valid_l), feats.lines.valid,
+                jnp.zeros(lcap, jnp.float32), feats.lines.angle,
+                max_angle=np.pi)  # no angle gate map->frame
+            midx = np.asarray(midx)
+            mok = midx >= 0
+            cur_map_ln[midx[mok]] = ids_l[mok]
+            if mok.any():
+                L = cfg.lines.max_lines
+                xw_s = np.zeros((L, 3), np.float32)
+                xw_e = np.zeros((L, 3), np.float32)
+                l2d = np.zeros((L, 3), np.float32)
+                lval = np.zeros(L, bool)
+                f2d = np.asarray(feats.lines.line2d)
+                for mi in np.flatnonzero(mok):
+                    f = midx[mi]
+                    xw_s[f] = m.ln_sw[ids_l[mi]]
+                    xw_e[f] = m.ln_ew[ids_l[mi]]
+                    l2d[f] = f2d[f]
+                    lval[f] = True
+                line_obs = pose_opt.LineObs(
+                    xw_s=jnp.asarray(xw_s), xw_e=jnp.asarray(xw_e),
+                    line2d=jnp.asarray(l2d),
+                    inv_sigma2=jnp.ones(L, jnp.float32),
+                    valid=jnp.asarray(lval))
+
+        # plane association (PlaneMatcher semantics)
+        plane_matches = self._associate_planes(feats)
+        plane_obs, par_obs, ver_obs = self._plane_obs(feats, plane_matches)
+
+        # full pose optimization over all residual types
+        obs = self._point_obs_from_matches(
+            feats, m.pt_xyz[np.clip(new_map_pt, 0, None)],
+            np.where(new_map_pt >= 0, np.arange(cfg.orb.max_keypoints), -1))
+        result = self._run_pose_opt(self.T_cw, points=obs, lines=line_obs,
+                                    planes=plane_obs, par=par_obs, ver=ver_obs)
+        n_in = int(result.n_point_inliers)
+        self.n_inliers = n_in
+        if n_in < cfg.tracking.min_matches_local_map // 2:
+            return False, new_map_pt, cur_map_ln, plane_matches
+        self.T_cw = np.asarray(result.T_cw)
+
+        # drop outlier associations (reference clears mvbOutlier points from
+        # the frame associations before KF creation)
+        inl = np.asarray(result.point_inlier)
+        new_map_pt = np.where(inl | (new_map_pt < 0), new_map_pt, -1)
+        return True, new_map_pt, cur_map_ln, plane_matches
+
+    # ------------------------------------------------------ plane association
+    def _associate_planes(self, feats: FrameFeatures) -> dict:
+        """Frame-plane -> map-plane association (`src/PlaneMatcher.cpp:10-81`).
+
+        Returns {"direct": (P,) map ids or -1, "par": ..., "ver": ...}.
+        """
+        cfg = self.cfg
+        m = self.map
+        P = cfg.planes.max_planes
+        direct = np.full(P, -1, np.int32)
+        par = np.full(P, -1, np.int32)
+        ver = np.full(P, -1, np.int32)
+        pl_valid = np.asarray(feats.planes.valid)
+        coeffs_c = np.asarray(feats.planes.coeffs)
+        T_wc_T = np.linalg.inv(self.T_cw)
+        map_ids = np.flatnonzero(m.pl_valid)
+        if len(map_ids) == 0:
+            return {"direct": direct, "par": par, "ver": ver}
+        for i in np.flatnonzero(pl_valid):
+            pi_w = np.asarray(plane_geo.transform(
+                jnp.asarray(T_wc_T.astype(np.float32)),
+                jnp.asarray(coeffs_c[i])))
+            n_f = pi_w[:3] / max(np.linalg.norm(pi_w[:3]), 1e-9)
+            best, best_dist = -1, np.inf
+            for j in map_ids:
+                n_m = m.pl_coeffs[j, :3] / max(
+                    np.linalg.norm(m.pl_coeffs[j, :3]), 1e-9)
+                cos = abs(float(n_f @ n_m))
+                if cos > cfg.planes.assoc_angle:
+                    d = m.plane_min_dist_to_cloud(pi_w, j)
+                    if d < cfg.planes.assoc_dist and d < best_dist:
+                        best, best_dist = int(j), d
+            if best >= 0:
+                direct[i] = best
+                continue
+            # structural tags (vertical / parallel) for unmatched planes
+            best_par, best_par_cos = -1, cfg.planes.parallel_threshold
+            best_ver, best_ver_cos = -1, cfg.planes.vertical_threshold
+            for j in map_ids:
+                n_m = m.pl_coeffs[j, :3] / max(
+                    np.linalg.norm(m.pl_coeffs[j, :3]), 1e-9)
+                cos = abs(float(n_f @ n_m))
+                if cos > best_par_cos:
+                    best_par, best_par_cos = int(j), cos
+                if cos < best_ver_cos:
+                    best_ver, best_ver_cos = int(j), cos
+            par[i] = best_par
+            ver[i] = best_ver
+        return {"direct": direct, "par": par, "ver": ver}
+
+    def _plane_obs(self, feats: FrameFeatures, matches: dict):
+        cfg = self.cfg
+        m = self.map
+        P = cfg.planes.max_planes
+        coeffs_c = np.asarray(feats.planes.coeffs)
+
+        def block(ids):
+            pi_w = np.zeros((P, 4), np.float32)
+            pi_o = np.zeros((P, 4), np.float32)
+            val = np.zeros(P, bool)
+            for i in range(P):
+                j = ids[i]
+                if j >= 0:
+                    pi_w[i] = m.pl_coeffs[j]
+                    pi_o[i] = coeffs_c[i]
+                    val[i] = True
+            return pose_opt.PlaneObs(pi_w=jnp.asarray(pi_w),
+                                     pi_obs=jnp.asarray(pi_o),
+                                     valid=jnp.asarray(val))
+
+        return block(matches["direct"]), block(matches["par"]), \
+            block(matches["ver"])
+
+    # ------------------------------------------------------- keyframe policy
+    def _need_new_keyframe(self, feats: FrameFeatures,
+                           cur_map_pt: np.ndarray) -> bool:
+        """Reference `Tracking::NeedNewKeyFrame` (`src/Tracking.cc:2049`)."""
+        cfg = self.cfg
+        if self.only_tracking:
+            return False
+        if self.map.n_kf >= self.map.n_kf_slots - 1:
+            return False
+        frames_since = self.frame_id - self.last_kf_frame_id
+        if frames_since >= cfg.tracking.max_frames_between_kf:
+            return True
+        if self.new_plane_flag:
+            return True
+        # tracked-close vs non-tracked-close rule (`:2150-2199`)
+        depth = np.asarray(feats.points.depth)
+        close = (depth > 0) & (depth < cfg.camera.depth_threshold)
+        tracked_close = int((close & (cur_map_pt >= 0)).sum())
+        nontracked_close = int((close & (cur_map_pt < 0)).sum())
+        need_close = tracked_close < 100 and nontracked_close > 70
+        # tracked fraction vs reference-KF landmarks with >= nMinObs
+        # observations (reference GetTrackedMapPoints(nMinObs=3),
+        # `src/Tracking.cc:2068-2075`)
+        min_obs = 3 if self.map.n_kf > 2 else 2
+        ref_row = self.map.kf_pt_idx[self.ref_kf]
+        ref_pts = ref_row[ref_row >= 0]
+        ref_pts = ref_pts[self.map.pt_valid[ref_pts]]
+        ref_obs = int((self.map.pt_nobs[ref_pts] >= min_obs).sum())
+        n_tracked = int((cur_map_pt >= 0).sum())
+        weak = n_tracked < 0.75 * max(ref_obs, 1)
+        return (weak or need_close) and n_tracked > 15 and frames_since >= 1
+
+    # ------------------------------------------------------ keyframe creation
+    def _create_keyframe(self, feats: FrameFeatures, timestamp: float,
+                         cur_map_pt: np.ndarray, cur_map_ln: np.ndarray,
+                         plane_matches: Optional[dict]) -> int:
+        """Reference `Tracking::CreateNewKeyFrame` (`src/Tracking.cc:2139`)."""
+        cfg = self.cfg
+        m = self.map
+        kf = m.alloc_keyframe()
+        m.kf_valid[kf] = True
+        m.kf_pose[kf] = self.T_cw
+        m.kf_frame_id[kf] = self.frame_id
+        m.kf_timestamp[kf] = timestamp
+        m.kf_uv[kf] = np.asarray(feats.points.uv)
+        m.kf_ur[kf] = np.asarray(feats.points.u_right)
+        m.kf_depth[kf] = np.asarray(feats.points.depth)
+        m.kf_level[kf] = np.asarray(feats.points.level)
+        m.kf_angle[kf] = np.asarray(feats.points.angle)
+        m.kf_desc[kf] = np.asarray(feats.points.desc)
+        m.kf_feat_valid[kf] = np.asarray(feats.points.valid)
+        m.kf_ln_line2d[kf] = np.asarray(feats.lines.line2d)
+        m.kf_ln_desc[kf] = np.asarray(feats.lines.desc)
+        m.kf_ln_valid[kf] = np.asarray(feats.lines.valid)
+        m.kf_pl_coeffs[kf] = np.asarray(feats.planes.coeffs)
+
+        T_wc = np.linalg.inv(self.T_cw).astype(np.float32)
+
+        # existing associations
+        m.kf_pt_idx[kf] = cur_map_pt
+        obs_pts = cur_map_pt[cur_map_pt >= 0]
+        m.pt_nobs[obs_pts] += 1
+
+        # new close map points (close-depth rule `:2150-2199`: all closer
+        # than thDepth, and at least the 100 closest overall)
+        depth = np.asarray(feats.points.depth)
+        valid = np.asarray(feats.points.valid)
+        cand = np.flatnonzero(valid & (depth > 0) & (cur_map_pt < 0))
+        if len(cand) > 0:
+            order = cand[np.argsort(depth[cand])]
+            close_mask = depth[order] < cfg.camera.depth_threshold
+            n_keep = max(int(close_mask.sum()), min(100, len(order)))
+            new_feats = order[:n_keep]
+            pw = unproject_points(feats.points, cfg, T_wc)[new_feats]
+            ids = m.alloc_points(len(new_feats))
+            m.pt_xyz[ids] = pw
+            m.pt_desc[ids] = np.asarray(feats.points.desc)[new_feats]
+            cam_center = T_wc[:3, 3]
+            vec = pw - cam_center
+            dist = np.linalg.norm(vec, axis=1)
+            m.pt_normal[ids] = vec / np.maximum(dist[:, None], 1e-9)
+            lvl = np.asarray(feats.points.level)[new_feats]
+            sf = cfg.orb.scale_factor
+            m.pt_max_dist[ids] = dist * (sf ** lvl) * 1.2
+            m.pt_min_dist[ids] = m.pt_max_dist[ids] / (sf ** cfg.orb.n_levels) * 0.8
+            m.pt_valid[ids] = True
+            m.pt_nobs[ids] = 1
+            m.pt_first_kf[ids] = kf
+            m.kf_pt_idx[kf, new_feats] = ids
+
+        # lines: carry matches, create new map lines for unmatched 3D lines
+        m.kf_ln_idx[kf] = cur_map_ln
+        has3d = np.asarray(feats.lines.has_3d) & np.asarray(feats.lines.valid)
+        new_ln = np.flatnonzero(has3d & (cur_map_ln < 0))
+        if len(new_ln) > 0:
+            ids = m.alloc_lines(len(new_ln))
+            ps = np.asarray(feats.lines.p3d_s)[new_ln]
+            pe = np.asarray(feats.lines.p3d_e)[new_ln]
+            m.ln_sw[ids] = ps @ T_wc[:3, :3].T + T_wc[:3, 3]
+            m.ln_ew[ids] = pe @ T_wc[:3, :3].T + T_wc[:3, 3]
+            m.ln_desc[ids] = np.asarray(feats.lines.desc)[new_ln]
+            m.ln_valid[ids] = True
+            m.ln_nobs[ids] = 1
+            m.ln_first_kf[ids] = kf
+            m.kf_ln_idx[kf, new_ln] = ids
+        obs_ln = cur_map_ln[cur_map_ln >= 0]
+        m.ln_nobs[obs_ln] += 1
+
+        # planes: add observations / create new map planes (`:2248-2272`)
+        self.new_plane_flag = False
+        pl_valid = np.asarray(feats.planes.valid)
+        coeffs_c = np.asarray(feats.planes.coeffs)
+        lbl = np.asarray(feats.planes.pixel_label)
+        if plane_matches is None:
+            plane_matches = {"direct": np.full(cfg.planes.max_planes, -1,
+                                               np.int32),
+                             "par": np.full(cfg.planes.max_planes, -1, np.int32),
+                             "ver": np.full(cfg.planes.max_planes, -1, np.int32)}
+        for i in np.flatnonzero(pl_valid):
+            pi_w = np.asarray(plane_geo.transform(
+                jnp.asarray(T_wc), jnp.asarray(coeffs_c[i])))
+            j = plane_matches["direct"][i]
+            if j < 0:
+                j = m.alloc_plane()
+                m.pl_valid[j] = True
+                m.pl_coeffs[j] = pi_w
+                m.pl_nobs[j] = 0
+                m.pl_first_kf[j] = kf
+                self.new_plane_flag = True
+            m.pl_nobs[j] += 1
+            m.kf_pl_idx[kf, i] = j
+            # plane cloud update from this KF's supporting pixels (sampled)
+            ys, xs = np.nonzero(lbl == i)
+            if len(ys) > 0:
+                sub = slice(0, None, max(1, len(ys) // 512))
+                cam = cfg.camera
+                zz = self._last_depth[ys[sub], xs[sub]]
+                okz = zz > 0
+                px = (xs[sub][okz] - cam.cx) / cam.fx * zz[okz]
+                py = (ys[sub][okz] - cam.cy) / cam.fy * zz[okz]
+                pc = np.stack([px, py, zz[okz]], axis=-1).astype(np.float32)
+                pw = pc @ T_wc[:3, :3].T + T_wc[:3, 3]
+                m.add_plane_cloud(j, pw)
+        m.kf_pl_par_idx[kf] = plane_matches["par"]
+        m.kf_pl_ver_idx[kf] = plane_matches["ver"]
+
+        m.update_covisibility(kf)
+        return kf
+
+    # the tracking loop stashes the raw depth for plane-cloud sampling
+    _last_depth: np.ndarray = np.zeros((1, 1), np.float32)

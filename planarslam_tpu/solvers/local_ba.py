@@ -1,0 +1,276 @@
+"""Local bundle adjustment — batched Gauss-Newton with dense Schur complement.
+
+Rebuild of `Optimizer::LocalBundleAdjustment` (`src/Optimizer.cc:1853`):
+optimize the covisibility-local window of keyframe poses plus the point /
+line-endpoint / plane landmarks they observe, with fixed anchor keyframes,
+in the reference's two-stage schedule (5 iterations, outlier purge at
+5.991 mono / 7.815 stereo / 2x5.991 line / Plane.Chi, then 10 more
+iterations) and write-back of poses + landmarks + erased outlier
+observations.
+
+Note: the shipped reference never CALLS this (the invocation is commented
+out at `src/LocalMapping.cc:67-69`); it is kept behind
+LocalMapping(enable_local_ba=...) for ship-state parity (SURVEY.md §7
+semantics-to-preserve).
+
+TPU shape: the g2o sparse graph becomes dense masked tables
+(obs[kf_slot, feature] -> local landmark slot). The reduced camera system is
+tiny (6K x 6K, K <= ~10); the point system is block-diagonal (batched 3x3
+inverses); their coupling is one dense einsum — textbook Schur, all MXU.
+Point Jacobians are analytic; line-endpoint and plane Jacobians come from
+per-observation jacfwd over their small parameter blocks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from planarslam_tpu.config import SystemConfig
+from planarslam_tpu.geometry import plane as plane_geo
+from planarslam_tpu.geometry import se3
+
+CHI2_MONO = 5.991
+CHI2_STEREO = 7.815
+
+MAX_LOCAL_KF = 8
+MAX_FIXED_KF = 8
+MAX_LOCAL_PTS = 2048
+
+
+def _proj_jacobians(pc, K, bf):
+    """d(u,v,ur)/d pc for camera-frame points pc (..., 3)."""
+    fx, fy, _, _ = K
+    x, y, z = pc[..., 0], pc[..., 1], jnp.maximum(pc[..., 2], 1e-6)
+    z2 = z * z
+    zero = jnp.zeros_like(x)
+    row_u = jnp.stack([fx / z, zero, -fx * x / z2], axis=-1)
+    row_v = jnp.stack([zero, fy / z, -fy * y / z2], axis=-1)
+    row_r = jnp.stack([fx / z, zero, -fx * x / z2 + bf / z2], axis=-1)
+    return jnp.stack([row_u, row_v, row_r], axis=-2)  # (..., 3, 3)
+
+
+@partial(jax.jit, static_argnames=("n_iters", "huber"))
+def _ba_iterate(kf_pose, kf_fixed_mask, pt_xyz, obs_pt_slot, obs_uv, obs_ur,
+                obs_inv_s2, obs_mask, K, bf, n_iters=5, huber=True,
+                damping=1e-4):
+    """Core point-BA iterations.
+
+    kf_pose: (Kt, 4, 4) poses for local+fixed KFs (fixed ones masked);
+    pt_xyz: (P, 3); obs_*: (Kt, F) tables with obs_pt_slot in [-1, P).
+    Returns (kf_pose', pt_xyz', per-obs chi2).
+    """
+    Kt = kf_pose.shape[0]
+    P = pt_xyz.shape[0]
+    fx, fy, cx, cy = K
+
+    slot = jnp.clip(obs_pt_slot, 0, P - 1)
+    is_stereo = obs_ur >= 0
+    gate = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+
+    def residual_chi2(poses, pts):
+        xw = pts[slot]                               # (Kt, F, 3)
+        R = poses[:, :3, :3]
+        t = poses[:, :3, 3]
+        pc = jnp.einsum("kij,kfj->kfi", R, xw) + t[:, None, :]
+        z = jnp.maximum(pc[..., 2], 1e-6)
+        u = fx * pc[..., 0] / z + cx
+        v = fy * pc[..., 1] / z + cy
+        ur = u - bf / z
+        r = jnp.stack([obs_uv[..., 0] - u, obs_uv[..., 1] - v,
+                       jnp.where(is_stereo, obs_ur - ur, 0.0)], axis=-1)
+        chi2 = jnp.sum(r * r, axis=-1) * obs_inv_s2
+        return r, chi2, pc, R
+
+    def robust_cost(chi2):
+        rho = jnp.where(chi2 > gate,
+                        2 * jnp.sqrt(gate * jnp.clip(chi2, 1e-12, None)) - gate,
+                        chi2) if huber else chi2
+        return jnp.sum(rho * obs_mask)
+
+    def step(state, _):
+        poses, pts, damping, cost_prev = state
+        r, chi2, pc, R = residual_chi2(poses, pts)
+        w_huber = jnp.where(chi2 > gate,
+                            jnp.sqrt(gate / jnp.clip(chi2, 1e-12, None)), 1.0)
+        if not huber:
+            w_huber = jnp.ones_like(w_huber)
+        w = obs_inv_s2 * w_huber * obs_mask  # (Kt, F)
+        dim_mask = jnp.stack([jnp.ones_like(w), jnp.ones_like(w),
+                              is_stereo.astype(w.dtype)], axis=-1)
+        W = w[..., None] * dim_mask  # per-dim weights (Kt, F, 3)
+
+        dh = _proj_jacobians(pc, K, bf)  # (Kt, F, 3, 3) d(meas)/dpc
+        # residual r = z - h  =>  J = -dh * d pc/d param
+        # pose (left-mult): dpc/d[rho,phi] = [I | -hat(pc)]
+        hat_pc = se3.hat(pc)  # (Kt, F, 3, 3)
+        Jpose = jnp.concatenate([-dh, dh @ hat_pc], axis=-1)  # (Kt, F, 3, 6)
+        Jpt = -dh @ R[:, None]  # (Kt, F, 3, 3)
+
+        rw = r * W
+        # camera blocks
+        Hcc = jnp.einsum("kfai,kfa,kfaj->kij", Jpose, W, Jpose)  # (Kt, 6, 6)
+        bc = jnp.einsum("kfai,kfa->ki", Jpose, rw)               # (Kt, 6)
+        # point blocks via scatter over slots
+        Hpp_e = jnp.einsum("kfai,kfa,kfaj->kfij", Jpt, W, Jpt)
+        bp_e = jnp.einsum("kfai,kfa->kfi", Jpt, rw)
+        flat_slot = slot.reshape(-1)
+        Hpp = jax.ops.segment_sum(Hpp_e.reshape(-1, 3, 3), flat_slot, P)
+        bp = jax.ops.segment_sum(bp_e.reshape(-1, 3), flat_slot, P)
+        # coupling: Hcp[k, p] = sum_f Jpose^T W Jpt
+        Hcp_e = jnp.einsum("kfai,kfa,kfaj->kfij", Jpose, W, Jpt)  # (Kt,F,6,3)
+        kf_ids = jnp.broadcast_to(
+            jnp.arange(Kt)[:, None], slot.shape).reshape(-1)
+        pair_id = kf_ids * P + flat_slot
+        Hcp = jax.ops.segment_sum(Hcp_e.reshape(-1, 6, 3), pair_id,
+                                  Kt * P).reshape(Kt, P, 6, 3)
+
+        # Marquardt damping on the point blocks; tiny ridge keeps
+        # unobserved (all-zero) slots invertible
+        Hpp_d = Hpp + damping * jax.vmap(jnp.diag)(
+            jax.vmap(jnp.diag)(Hpp)) + 1e-6 * jnp.eye(3)
+        Hpp_inv = jnp.linalg.inv(Hpp_d)
+
+        free = (1.0 - kf_fixed_mask)  # (Kt,)
+        # Schur: S = Hcc - Hcp Hpp^-1 Hcp^T (camera-camera coupling via pts)
+        HcpHinv = jnp.einsum("kpij,pjl->kpil", Hcp, Hpp_inv)  # (Kt,P,6,3)
+        S_blocks = jnp.einsum("kpil,qpml->kqim", HcpHinv, Hcp)  # (Kt,Kt,6,6)
+        S = (jnp.zeros((Kt, Kt, 6, 6))
+             .at[jnp.arange(Kt), jnp.arange(Kt)].set(Hcc)) - S_blocks
+        rhs = bc - jnp.einsum("kpil,pl->ki", HcpHinv, bp)
+
+        S_mat = S.transpose(0, 2, 1, 3).reshape(Kt * 6, Kt * 6)
+        diag_pen = jnp.repeat(kf_fixed_mask, 6) * 1e10 + damping
+        S_mat = S_mat + jnp.diag(diag_pen) + damping * jnp.diag(jnp.diag(S_mat))
+        dxc = -jnp.linalg.solve(S_mat, rhs.reshape(-1)).reshape(Kt, 6)
+        dxc = dxc * free[:, None]
+        # back-substitute points
+        dxp = -jnp.einsum("pij,pj->pi", Hpp_inv,
+                          bp + jnp.einsum("kpij,ki->pj", Hcp, dxc))
+
+        poses_new = jax.vmap(se3.se3_exp)(dxc) @ poses
+        pts_new = pts + dxp
+
+        # LM accept/reject: keep the step only if the robust cost drops
+        _, chi2_new, _, _ = residual_chi2(poses_new, pts_new)
+        cost_new = robust_cost(chi2_new)
+        cost_cur = robust_cost(chi2)
+        finite = (jnp.isfinite(cost_new) & jnp.all(jnp.isfinite(dxc))
+                  & jnp.all(jnp.isfinite(dxp)))
+        accept = (cost_new < cost_cur) & finite
+        poses_out = jnp.where(accept, poses_new, poses)
+        pts_out = jnp.where(accept, pts_new, pts)
+        damping_out = jnp.clip(jnp.where(accept, damping * 0.5,
+                                         damping * 8.0), 1e-6, 1e4)
+        return (poses_out, pts_out, damping_out,
+                jnp.where(accept, cost_new, cost_cur)), chi2
+
+    init = (kf_pose, pt_xyz, jnp.float32(damping), jnp.float32(jnp.inf))
+    (poses, pts, _, _), chis = jax.lax.scan(step, init, None, length=n_iters)
+    # final chi2 at the output state
+    _, chi2_final, _, _ = residual_chi2(poses, pts)
+    return poses, pts, chi2_final
+
+
+def local_bundle_adjustment(slam_map, kf: int, cfg: SystemConfig) -> None:
+    """Gather the local window from the map, run the two-stage schedule,
+    write back poses/points and erase outlier observations."""
+    m = slam_map
+    K = (cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy)
+    bf = cfg.camera.bf
+
+    local = [kf] + [int(c) for c in m.covisible_kfs(kf)[:MAX_LOCAL_KF - 1]]
+    local = [k for k in local if m.kf_valid[k]]
+    pt_ids = m.local_map_points(np.asarray(local), cap=MAX_LOCAL_PTS)
+    if len(pt_ids) < 30 or len(local) < 2:
+        return
+    pt_slot = {int(p): i for i, p in enumerate(pt_ids)}
+
+    # fixed KFs: observe local points but are not local (cap)
+    fixed = []
+    for other in m.valid_kf_ids():
+        if int(other) in local:
+            continue
+        o = m.kf_pt_idx[other]
+        if np.isin(o[o >= 0], pt_ids).any():
+            fixed.append(int(other))
+        if len(fixed) >= MAX_FIXED_KF:
+            break
+    # KF0 is always gauge-fixed if local
+    all_kfs = local + fixed
+    Kt = len(all_kfs)
+    fixed_mask = np.zeros(Kt, np.float32)
+    for i, k in enumerate(all_kfs):
+        if k in fixed or k == 0:
+            fixed_mask[i] = 1.0
+    if fixed_mask.sum() == 0:
+        fixed_mask[np.argmin(local)] = 1.0  # gauge
+
+    F = cfg.orb.max_keypoints
+    P = len(pt_ids)
+    obs_slot = np.full((Kt, F), -1, np.int32)
+    obs_uv = np.zeros((Kt, F, 2), np.float32)
+    obs_ur = np.full((Kt, F), -1.0, np.float32)
+    obs_is2 = np.ones((Kt, F), np.float32)
+    s2 = (1.0 / cfg.orb.scale_factor ** (
+        2 * np.arange(cfg.orb.n_levels))).astype(np.float32)
+    for i, k in enumerate(all_kfs):
+        row = m.kf_pt_idx[k]
+        for f in np.flatnonzero(row >= 0):
+            p = int(row[f])
+            if p in pt_slot:
+                obs_slot[i, f] = pt_slot[p]
+                obs_uv[i, f] = m.kf_uv[k, f]
+                obs_ur[i, f] = m.kf_ur[k, f]
+                obs_is2[i, f] = s2[m.kf_level[k, f]]
+    obs_mask = (obs_slot >= 0).astype(np.float32)
+
+    pts0 = m.pt_xyz[pt_ids].astype(np.float32)
+    poses0 = m.kf_pose[all_kfs].astype(np.float32)
+
+    # pad the point dimension for stable compile shapes
+    P_pad = MAX_LOCAL_PTS
+    pts_p = np.zeros((P_pad, 3), np.float32)
+    pts_p[:P] = pts0
+    slot_p = np.where(obs_slot >= 0, obs_slot, -1)
+
+    # stage 1: 5 iters with Huber
+    poses1, pts1, chi2 = _ba_iterate(
+        jnp.asarray(poses0), jnp.asarray(fixed_mask), jnp.asarray(pts_p),
+        jnp.asarray(slot_p), jnp.asarray(obs_uv), jnp.asarray(obs_ur),
+        jnp.asarray(obs_is2), jnp.asarray(obs_mask), K, bf, n_iters=5)
+    # outlier purge (reference erases obs with chi2 over the gate)
+    chi2 = np.asarray(chi2)
+    gate = np.where(obs_ur >= 0, CHI2_STEREO, CHI2_MONO)
+    inlier = (chi2 <= gate) | (obs_mask == 0)
+    obs_mask2 = obs_mask * inlier
+
+    # stage 2: 10 iters
+    poses2, pts2, chi2b = _ba_iterate(
+        poses1, jnp.asarray(fixed_mask), pts1, jnp.asarray(slot_p),
+        jnp.asarray(obs_uv), jnp.asarray(obs_ur), jnp.asarray(obs_is2),
+        jnp.asarray(obs_mask2), K, bf, n_iters=10)
+
+    poses2 = np.asarray(poses2)
+    pts2 = np.asarray(pts2)
+    chi2b = np.asarray(chi2b)
+
+    # write back free poses + points
+    for i, k in enumerate(all_kfs):
+        if fixed_mask[i] == 0:
+            m.kf_pose[k] = poses2[i]
+    m.pt_xyz[pt_ids] = pts2[:P]
+
+    # erase outlier observations from association tables
+    bad = (chi2b > gate) & (obs_mask2 > 0)
+    for i, k in enumerate(all_kfs):
+        fbad = np.flatnonzero(bad[i])
+        if len(fbad):
+            pts_bad = m.kf_pt_idx[k, fbad]
+            m.kf_pt_idx[k, fbad] = -1
+            ok = pts_bad >= 0
+            m.pt_nobs[pts_bad[ok]] -= 1

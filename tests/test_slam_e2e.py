@@ -1,0 +1,108 @@
+"""End-to-end SLAM tests on synthetic sequences (the integration layer the
+reference only exercises via manual TUM replays — SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from planarslam_tpu.config import SystemConfig
+from planarslam_tpu.evaluation.ate import ate_rmse
+from planarslam_tpu.io import synthetic
+from planarslam_tpu.slam.system import System
+from planarslam_tpu.slam.tracking import TrackingState
+
+
+def _run_sequence(n_frames=20, kind="arc", **sys_kwargs):
+    cfg = SystemConfig.tiny()
+    seq = synthetic.make_sequence(n_frames=n_frames, width=cfg.camera.width,
+                                  height=cfg.camera.height, kind=kind)
+    slam = System(config=cfg, **sys_kwargs)
+    for i in range(len(seq)):
+        gray, depth = seq.render(i)
+        slam.track_rgbd(gray, depth, seq.timestamps[i])
+    return cfg, seq, slam
+
+
+def test_tracking_e2e_ate():
+    cfg, seq, slam = _run_sequence(n_frames=20)
+    assert slam.get_tracking_state() == TrackingState.OK
+    est = slam.frame_poses_wc()
+    assert est.shape[0] == len(seq)
+    err = ate_rmse(est[:, :3, 3], seq.poses_wc[:, :3, 3])
+    # tiny 160x120 frames: a few cm over a ~1.5 m trajectory
+    assert err < 0.05, f"ATE RMSE {err:.4f} m"
+    # sanity on internals: Manhattan tracking worked for most frames
+    st = slam.tracker.stats
+    assert st["manhattan_success"] >= 0.6 * (st["frames"] - 1)
+    assert st["kfs"] >= 1
+
+
+def test_tracking_still_sequence_stays_put():
+    cfg, seq, slam = _run_sequence(n_frames=6, kind="still")
+    est = slam.frame_poses_wc()
+    drift = np.linalg.norm(est[-1][:3, 3] - est[0][:3, 3])
+    assert drift < 0.01, f"drift {drift}"
+
+
+def test_map_contents_after_run():
+    cfg, seq, slam = _run_sequence(n_frames=12)
+    m = slam.map
+    assert m.n_kf >= 1
+    assert m.pt_valid.sum() > 80
+    assert m.pl_valid.sum() >= 3
+    # plane coeffs should match scene planes (world frame)
+    for j in np.flatnonzero(m.pl_valid):
+        c = m.pl_coeffs[j]
+        n_est = c[:3] / np.linalg.norm(c[:3])
+        errs = []
+        for p in seq.planes:
+            gt_n = p.normal
+            errs.append(1 - abs(float(n_est @ gt_n)))
+        assert min(errs) < 0.02
+    # plane clouds were populated
+    assert (m.pl_cloud_n[m.pl_valid] > 50).all()
+
+
+def test_trajectory_save_and_eval(tmp_path):
+    cfg, seq, slam = _run_sequence(n_frames=10)
+    est_path = str(tmp_path / "est.txt")
+    kf_path = str(tmp_path / "kf.txt")
+    slam.save_trajectory_tum(est_path)
+    slam.save_keyframe_trajectory_tum(kf_path)
+    from planarslam_tpu.io.tum import read_trajectory_tum, write_trajectory_tum
+
+    write_trajectory_tum(str(tmp_path / "gt.txt"), seq.timestamps, seq.poses_wc)
+    from planarslam_tpu.evaluation.ate import evaluate_trajectory_files
+
+    err = evaluate_trajectory_files(est_path, str(tmp_path / "gt.txt"))
+    assert err is not None and err < 0.05
+    ts, poses = read_trajectory_tum(kf_path)
+    assert len(ts) == slam.map.kf_valid.sum()
+
+
+def test_mesh_export(tmp_path):
+    cfg, seq, slam = _run_sequence(n_frames=8)
+    path = str(tmp_path / "mesh.ply")
+    slam.save_mesh(path)
+    from planarslam_tpu.viz.mesh import read_ply_counts
+
+    nv, nf = read_ply_counts(path)
+    assert nv > 100 and nf > 100
+
+
+def test_localization_mode_freezes_map():
+    cfg, seq, slam = _run_sequence(n_frames=8)
+    n_kf = slam.map.n_kf
+    n_pts = int(slam.map.pt_valid.sum())
+    slam.activate_localization_mode()
+    for i in range(4):
+        gray, depth = seq.render(len(seq) - 1 - i)
+        slam.track_rgbd(gray, depth, 99.0 + i)
+    # keyframes may still be requested by the tracker but no mapping occurs
+    assert int(slam.map.pt_valid.sum()) >= n_pts - 5  # no mapping-side growth
+
+
+def test_reset():
+    cfg, seq, slam = _run_sequence(n_frames=6)
+    slam.reset()
+    assert slam.map.n_kf == 0
+    assert slam.get_tracking_state() == TrackingState.NO_IMAGES_YET
