@@ -149,21 +149,14 @@ class SlamMap:
         return ids[np.argsort(-w[ids])]
 
     def update_covisibility(self, kf: int) -> None:
-        """Recompute covisibility weights for one KF from shared points."""
-        own = self.kf_pt_idx[kf]
-        own = own[own >= 0]
-        if len(own) == 0:
-            return
-        mask = np.zeros(len(self.pt_valid), bool)
-        mask[own] = True
-        for other in self.valid_kf_ids():
-            if other == kf:
-                continue
-            o = self.kf_pt_idx[other]
-            o = o[o >= 0]
-            w = int(mask[o].sum()) if len(o) else 0
-            self.covis[kf, other] = w
-            self.covis[other, kf] = w
+        """Recompute covisibility weights for one KF from shared points
+        (native mapcore; `KeyFrame::UpdateConnections` role)."""
+        from planarslam_tpu import native
+
+        w = native.covis_update(self.kf_pt_idx, self.kf_valid, self.pt_valid,
+                                self.n_kf, kf)
+        self.covis[kf, :self.n_kf] = w
+        self.covis[:self.n_kf, kf] = w
         # spanning tree: parent = strongest covisible older KF
         older = self.covis[kf, :kf]
         if kf > 0 and older.max(initial=0) > 0:
@@ -186,32 +179,24 @@ class SlamMap:
     # -- plane clouds ---------------------------------------------------------
     def add_plane_cloud(self, pl: int, pts_w: np.ndarray) -> None:
         """Merge new world points into a plane's voxel-hashed cloud
-        (the role of MapPlane::UpdateCoefficientsAndPoints voxel filtering,
-        `src/MapPlane.cc:298-366`)."""
+        (native mapcore; the role of MapPlane::UpdateCoefficientsAndPoints
+        voxel filtering, `src/MapPlane.cc:298-366`)."""
+        from planarslam_tpu import native
+
         cap = self.pl_cloud.shape[1]
         leaf = self.cfg.planes.leaf_size * 4.0
-        cur_n = int(self.pl_cloud_n[pl])
-        allpts = np.concatenate([self.pl_cloud[pl, :cur_n], pts_w], axis=0)
-        key = np.floor(allpts / leaf).astype(np.int64)
-        # hash voxels; keep one point per voxel (first occurrence = older)
-        h = (key[:, 0] * 73856093) ^ (key[:, 1] * 19349663) ^ (key[:, 2] * 83492791)
-        _, first = np.unique(h, return_index=True)
-        kept = allpts[np.sort(first)]
-        if len(kept) > cap:
-            step = len(kept) / cap
-            kept = kept[(np.arange(cap) * step).astype(int)]
-        self.pl_cloud[pl, :len(kept)] = kept
-        self.pl_cloud_n[pl] = len(kept)
+        self.pl_cloud_n[pl] = native.voxel_merge(
+            self.pl_cloud[pl], int(self.pl_cloud_n[pl]),
+            pts_w.astype(np.float32), leaf, cap)
 
     def plane_min_dist_to_cloud(self, coeffs_w: np.ndarray, pl: int) -> float:
-        """Min |n.x + d| over the plane's cloud (PlaneMatcher's
-        point-to-plane association test, `src/PlaneMatcher.cpp:30-60`)."""
-        n = int(self.pl_cloud_n[pl])
-        if n == 0:
-            return np.inf
-        pts = self.pl_cloud[pl, :n]
-        c = coeffs_w / max(np.linalg.norm(coeffs_w[:3]), 1e-9)
-        return float(np.abs(pts @ c[:3] + c[3]).min())
+        """Min |n.x + d| over the plane's cloud (native mapcore;
+        PlaneMatcher's point-to-plane test, `src/PlaneMatcher.cpp:30-60`)."""
+        from planarslam_tpu import native
+
+        return native.plane_cloud_min_dist(
+            self.pl_cloud[pl], int(self.pl_cloud_n[pl]),
+            coeffs_w.astype(np.float64))
 
     # -- landmark bookkeeping -------------------------------------------------
     def erase_point(self, ids: np.ndarray) -> None:

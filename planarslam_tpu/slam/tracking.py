@@ -501,48 +501,30 @@ class Tracking:
 
         Returns {"direct": (P,) map ids or -1, "par": ..., "ver": ...}.
         """
+        from planarslam_tpu import native
+
         cfg = self.cfg
         m = self.map
         P = cfg.planes.max_planes
+        pl_valid = np.asarray(feats.planes.valid)
+        coeffs_c = np.asarray(feats.planes.coeffs)
         direct = np.full(P, -1, np.int32)
         par = np.full(P, -1, np.int32)
         ver = np.full(P, -1, np.int32)
-        pl_valid = np.asarray(feats.planes.valid)
-        coeffs_c = np.asarray(feats.planes.coeffs)
-        T_wc_T = np.linalg.inv(self.T_cw)
-        map_ids = np.flatnonzero(m.pl_valid)
-        if len(map_ids) == 0:
+        idxs = np.flatnonzero(pl_valid)
+        if len(idxs) == 0 or not m.pl_valid.any():
             return {"direct": direct, "par": par, "ver": ver}
-        for i in np.flatnonzero(pl_valid):
-            pi_w = np.asarray(plane_geo.transform(
-                jnp.asarray(T_wc_T.astype(np.float32)),
-                jnp.asarray(coeffs_c[i])))
-            n_f = pi_w[:3] / max(np.linalg.norm(pi_w[:3]), 1e-9)
-            best, best_dist = -1, np.inf
-            for j in map_ids:
-                n_m = m.pl_coeffs[j, :3] / max(
-                    np.linalg.norm(m.pl_coeffs[j, :3]), 1e-9)
-                cos = abs(float(n_f @ n_m))
-                if cos > cfg.planes.assoc_angle:
-                    d = m.plane_min_dist_to_cloud(pi_w, j)
-                    if d < cfg.planes.assoc_dist and d < best_dist:
-                        best, best_dist = int(j), d
-            if best >= 0:
-                direct[i] = best
-                continue
-            # structural tags (vertical / parallel) for unmatched planes
-            best_par, best_par_cos = -1, cfg.planes.parallel_threshold
-            best_ver, best_ver_cos = -1, cfg.planes.vertical_threshold
-            for j in map_ids:
-                n_m = m.pl_coeffs[j, :3] / max(
-                    np.linalg.norm(m.pl_coeffs[j, :3]), 1e-9)
-                cos = abs(float(n_f @ n_m))
-                if cos > best_par_cos:
-                    best_par, best_par_cos = int(j), cos
-                if cos < best_ver_cos:
-                    best_ver, best_ver_cos = int(j), cos
-            par[i] = best_par
-            ver[i] = best_ver
+        T_wc_T = np.linalg.inv(self.T_cw).astype(np.float32)
+        pi_w = np.asarray(plane_geo.transform(
+            jnp.asarray(T_wc_T), jnp.asarray(coeffs_c[idxs])))
+        d, p, v = native.associate_planes(
+            pi_w.astype(np.float64), m.pl_coeffs.astype(np.float64),
+            m.pl_valid, m.pl_cloud, m.pl_cloud_n,
+            cfg.planes.assoc_angle, cfg.planes.assoc_dist,
+            cfg.planes.vertical_threshold, cfg.planes.parallel_threshold)
+        direct[idxs] = d
+        par[idxs] = p
+        ver[idxs] = v
         return {"direct": direct, "par": par, "ver": ver}
 
     def _plane_obs(self, feats: FrameFeatures, matches: dict):
