@@ -177,12 +177,14 @@ def make_trajectory(n_frames: int, kind: str = "arc", seed: int = 3,
         pitch = 0.08 * np.sin(2.0 * np.pi * p)
         roll = 0.05 * np.sin(1.7 * np.pi * p)
     elif kind == "loop":
+        # gentle closed loop: returns to the start pose, camera mostly
+        # forward-facing so the map stays in view the whole way round
         ang = 2 * np.pi * p
-        x = 0.6 * np.sin(ang)
-        y = 0.1 * np.sin(2 * ang)
-        z = 0.4 * (1 - np.cos(ang))
-        yaw = 0.4 * np.sin(ang)
-        pitch = 0.05 * np.sin(2 * ang)
+        x = 0.45 * np.sin(ang)
+        y = 0.08 * np.sin(2 * ang)
+        z = 0.3 * (1 - np.cos(ang))
+        yaw = 0.22 * np.sin(ang)
+        pitch = 0.04 * np.sin(2 * ang)
         roll = np.zeros_like(p)
     elif kind == "still":
         x = y = z = yaw = pitch = roll = np.zeros_like(p)

@@ -203,6 +203,25 @@ class SlamMap:
         self.pt_valid[ids] = False
         # lazily leave stale ids in kf_pt_idx; readers mask via pt_valid
 
+    def replace_point(self, drop: int, keep: int) -> None:
+        """MapPoint::Replace semantics: rewrite every observation of `drop`
+        to `keep` (first association wins where both exist) and merge
+        statistics."""
+        tbl = self.kf_pt_idx[:self.n_kf]
+        where = tbl == drop
+        n_moved = 0
+        for k, f in zip(*np.nonzero(where)):
+            row = tbl[k]
+            if (row == keep).any():
+                row[f] = -1  # keep already observed in this KF
+            else:
+                row[f] = keep
+                n_moved += 1
+        self.pt_nobs[keep] += n_moved
+        self.pt_found[keep] += self.pt_found[drop]
+        self.pt_visible[keep] += self.pt_visible[drop]
+        self.pt_valid[drop] = False
+
     def point_stats_update(self, ids: np.ndarray, found_mask: np.ndarray) -> None:
         """Track the found/visible ratio used by culling
         (`MapPoint::IncreaseFound/IncreaseVisible`)."""

@@ -135,6 +135,34 @@ class System:
         ts = self.map.kf_timestamp[ids]
         write_trajectory_tum(path, ts, poses)
 
+    def save_map(self, path: str) -> None:
+        """Serialize the full map (capability the reference stubs as TODO,
+        `include/System.h:104-106`)."""
+        from planarslam_tpu.slam.serialization import save_map
+
+        save_map(path, self.map)
+
+    def load_map(self, path: str) -> None:
+        """Load a map checkpoint; the tracker restarts LOST and must
+        relocalize against it (kidnapped-robot start)."""
+        from planarslam_tpu.slam.serialization import load_map
+        from planarslam_tpu.slam.tracking import TrackingState
+
+        self.map = load_map(path, self.cfg)
+        self.tracker = Tracking(self.cfg, self.map, kf_db=self.kf_db)
+        self.tracker.state = TrackingState.LOST
+        valid = self.map.valid_kf_ids()
+        self.tracker.ref_kf = int(valid[-1]) if len(valid) else 0
+        self.tracker.frame_id = int(self.map.kf_frame_id[:self.map.n_kf].max(
+            initial=-1)) + 1
+        if self.local_mapper is not None:
+            self.local_mapper = LocalMapping(self.cfg, self.map)
+        if self.loop_closer is not None:
+            from planarslam_tpu.slam.loop_closing import LoopClosing
+
+            self.loop_closer = LoopClosing(self.cfg, self.map,
+                                           kf_db=self.kf_db)
+
     def save_mesh(self, path: str) -> None:
         """Planar mesh export (reference `System::SaveMesh`,
         `src/System.cc:322` -> `MeshViewer::SaveMeshModel`)."""

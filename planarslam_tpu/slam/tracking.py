@@ -326,6 +326,7 @@ class Tracking:
         landmarks -> PnP RANSAC -> pose refinement. Returns the recovered
         feature->map-point association or None."""
         from planarslam_tpu.solvers.pnp import pnp_ransac
+        from planarslam_tpu.solvers.sim3_solver import horn_ransac_se3
 
         cfg = self.cfg
         m = self.map
@@ -334,6 +335,8 @@ class Tracking:
         cands = self.kf_db.reloc_candidates(m, desc_np, valid_np)
         uv = np.asarray(feats.points.uv)
         lvl = np.asarray(feats.points.level)
+        depth = np.asarray(feats.points.depth)
+        cam = cfg.camera
         for c in cands:
             if not m.kf_valid[c]:
                 continue
@@ -349,18 +352,28 @@ class Tracking:
                 continue
             pt_ids = row[ok]
             feat_ids = idx[ok]
-            T, inl, n_inl = pnp_ransac(
-                m.pt_xyz[pt_ids], uv[feat_ids],
-                np.ones(len(pt_ids), bool), self.K,
-                inv_sigma2=self.inv_level_sigma2[lvl[feat_ids]])
-            if n_inl < 10:
+            # primary RGB-D path: 3D-3D Horn RANSAC (depth makes the scale
+            # and planar-degenerate cases trivial; the reference's EPnP is
+            # only needed when the query has no depth)
+            z = depth[feat_ids]
+            has_z = z > 0
+            if has_z.sum() >= 8:
+                x = (uv[feat_ids, 0] - cam.cx) / cam.fx * z
+                y = (uv[feat_ids, 1] - cam.cy) / cam.fy * z
+                pc = np.stack([x, y, z], -1).astype(np.float32)[has_z]
+                T, n_inl, _ = horn_ransac_se3(
+                    m.pt_xyz[pt_ids][has_z], pc, threshold=0.08)
+            else:
+                T, _, n_inl = pnp_ransac(
+                    m.pt_xyz[pt_ids], uv[feat_ids],
+                    np.ones(len(pt_ids), bool), self.K,
+                    inv_sigma2=self.inv_level_sigma2[lvl[feat_ids]])
+            if n_inl < 8:
                 continue
-            # refine with the pose optimizer
-            match_idx = np.full(cfg.orb.max_keypoints, -1, np.int32)
-            match_idx[:] = -1
+            # refine with the pose optimizer over all matches (its chi2
+            # gating re-classifies outliers, reference `:2654-2689`)
             cur_map_pt = np.full(cfg.orb.max_keypoints, -1, np.int32)
-            sel = np.flatnonzero(inl)
-            cur_map_pt[feat_ids[sel]] = pt_ids[sel]
+            cur_map_pt[feat_ids] = pt_ids
             obs = self._point_obs_from_matches(
                 feats, m.pt_xyz[np.clip(cur_map_pt, 0, None)],
                 np.where(cur_map_pt >= 0,

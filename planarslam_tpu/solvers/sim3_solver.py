@@ -90,6 +90,76 @@ def horn_ransac_se3(src: np.ndarray, dst: np.ndarray,
     return T, int(n_inl), np.asarray(inl)
 
 
+@partial(jax.jit, static_argnames=("fix_scale", "n_iters"))
+def _refine_relative(T12_init, s_init, pts1_c, pts2_c, uv1, uv2, valid, K,
+                     fix_scale=True, n_iters=8, huber_chi2=10.0):
+    """GN refinement of the relative transform between two cameras
+    (`Optimizer::OptimizeSim3` `src/Optimizer.cc:3739`): bidirectional
+    reprojection — points of camera 2 projected into camera 1 via
+    S12 = (s R12, t12) and points of camera 1 into camera 2 via S12^-1 —
+    with Huber weights. 7-dof tangent [rho, phi, sigma]; sigma frozen when
+    fix_scale (RGB-D)."""
+    fx, fy, cx, cy = K
+
+    def project(p):
+        z = jnp.maximum(p[..., 2], 1e-6)
+        return jnp.stack([fx * p[..., 0] / z + cx,
+                          fy * p[..., 1] / z + cy], axis=-1)
+
+    def residuals(xi, T, s):
+        dT = se3.se3_exp(xi[:6])
+        T_new = dT @ T
+        s_new = s * jnp.exp(jnp.where(fix_scale, 0.0, xi[6]))
+        R12 = T_new[:3, :3]
+        t12 = T_new[:3, 3]
+        p2_in_1 = s_new * (pts2_c @ R12.T) + t12
+        r1 = (uv1 - project(p2_in_1)) * valid[:, None]
+        R21 = R12.T
+        p1_in_2 = (pts1_c - t12) @ R12 / jnp.maximum(s_new, 1e-9)
+        r2 = (uv2 - project(p1_in_2)) * valid[:, None]
+        return jnp.concatenate([r1.reshape(-1), r2.reshape(-1)])
+
+    def step(carry, _):
+        T, s = carry
+        xi0 = jnp.zeros((7,), jnp.float32)
+        r0 = residuals(xi0, T, s)
+        # Huber on per-correspondence chi2
+        r_pairs = r0.reshape(2, -1, 2)
+        chi2 = jnp.sum(r_pairs ** 2, axis=-1)
+        w = jnp.where(chi2 > huber_chi2,
+                      jnp.sqrt(huber_chi2 / jnp.clip(chi2, 1e-9, None)), 1.0)
+        w_flat = jnp.repeat(w.reshape(-1), 2)
+        J = jax.jacfwd(residuals)(xi0, T, s)
+        Jw = J * w_flat[:, None]
+        H = Jw.T @ J + 1e-6 * jnp.eye(7)
+        g = Jw.T @ r0
+        dx = -jnp.linalg.solve(H, g)
+        T_new = se3.se3_exp(dx[:6]) @ T
+        s_new = s * jnp.exp(jnp.where(fix_scale, 0.0, dx[6]))
+        ok = jnp.all(jnp.isfinite(dx))
+        return (jnp.where(ok, T_new, T), jnp.where(ok, s_new, s)), None
+
+    (T, s), _ = jax.lax.scan(step, (T12_init, s_init), None, length=n_iters)
+    return T, s
+
+
+def refine_relative_se3(T12_init: np.ndarray, pts1_c: np.ndarray,
+                        pts2_c: np.ndarray, uv1: np.ndarray, uv2: np.ndarray,
+                        valid: np.ndarray,
+                        K: Tuple[float, float, float, float],
+                        fix_scale: bool = True):
+    """Host wrapper for the OptimizeSim3-style refinement. Returns (T12, s)."""
+    T, s = _refine_relative(
+        jnp.asarray(T12_init.astype(np.float32)), jnp.float32(1.0),
+        jnp.asarray(pts1_c.astype(np.float32)),
+        jnp.asarray(pts2_c.astype(np.float32)),
+        jnp.asarray(uv1.astype(np.float32)),
+        jnp.asarray(uv2.astype(np.float32)),
+        jnp.asarray(valid.astype(np.float32)),
+        tuple(float(v) for v in K), fix_scale=fix_scale)
+    return np.asarray(T), float(s)
+
+
 def horn_ransac_sim3(src: np.ndarray, dst: np.ndarray,
                      threshold: float = 0.10, n_hyp: int = 64):
     """Similarity variant (scale free) for mono-style loop closing."""

@@ -1,0 +1,159 @@
+"""Tests for serialization, visualization, Sim3 refinement, mono init,
+batched replay / multichip dry-run."""
+
+import numpy as np
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation
+
+from planarslam_tpu.config import SystemConfig
+from planarslam_tpu.geometry import se3
+
+
+def _built_system(n_frames=10):
+    from planarslam_tpu.io import synthetic
+    from planarslam_tpu.slam.system import System
+
+    cfg = SystemConfig.tiny()
+    seq = synthetic.make_sequence(n_frames=n_frames, width=cfg.camera.width,
+                                  height=cfg.camera.height)
+    slam = System(config=cfg)
+    for i in range(len(seq)):
+        g, d = seq.render(i)
+        slam.track_rgbd(g, d, seq.timestamps[i])
+    return cfg, seq, slam
+
+
+def test_map_save_load_roundtrip(tmp_path):
+    cfg, seq, slam = _built_system()
+    path = str(tmp_path / "map.npz")
+    slam.save_map(path)
+    from planarslam_tpu.slam.serialization import load_map
+
+    m2 = load_map(path, cfg)
+    m1 = slam.map
+    assert m2.n_kf == m1.n_kf
+    np.testing.assert_array_equal(m2.pt_valid, m1.pt_valid)
+    np.testing.assert_allclose(m2.kf_pose[:m1.n_kf], m1.kf_pose[:m1.n_kf])
+    np.testing.assert_array_equal(m2.kf_pt_idx, m1.kf_pt_idx)
+
+
+def test_load_map_and_relocalize(tmp_path):
+    from planarslam_tpu.slam.system import System
+    from planarslam_tpu.slam.tracking import TrackingState
+
+    cfg, seq, slam = _built_system()
+    path = str(tmp_path / "map.npz")
+    slam.save_map(path)
+
+    fresh = System(config=cfg)
+    fresh.load_map(path)
+    assert fresh.get_tracking_state() == TrackingState.LOST
+    g, d = seq.render(4)
+    pose = fresh.track_rgbd(g, d, 99.0)
+    assert fresh.get_tracking_state() == TrackingState.OK
+    T_gt = np.linalg.inv(seq.poses_wc[4])
+    assert np.linalg.norm(pose[:3, 3] - T_gt[:3, 3]) < 0.06
+
+
+def test_viz_outputs(tmp_path):
+    from planarslam_tpu.slam.frame import extract_frame
+    from planarslam_tpu.viz import render
+
+    cfg, seq, slam = _built_system(n_frames=6)
+    g, d = seq.render(0)
+    feats = extract_frame(jnp.asarray(g, jnp.float32),
+                          jnp.asarray(d, jnp.float32), cfg)
+    fp = str(tmp_path / "frame.png")
+    render.save_frame_png(fp, g, feats, state_text="OK")
+    mp = str(tmp_path / "map.png")
+    render.save_map_png(mp, slam.map)
+    for p in (fp, mp):
+        with open(p, "rb") as f:
+            magic = f.read(8)
+        assert magic == b"\x89PNG\r\n\x1a\n"
+        assert np.fromfile(p, np.uint8).size > 1000
+
+
+def test_sim3_refinement(rng):
+    from planarslam_tpu.solvers.sim3_solver import refine_relative_se3
+
+    K = (300.0, 310.0, 160.0, 120.0)
+    n = 60
+    pts1 = rng.uniform(-1.5, 1.5, (n, 3)).astype(np.float32)
+    pts1[:, 2] = rng.uniform(2, 5, n)
+    R = Rotation.from_rotvec([0.1, -0.15, 0.05]).as_matrix().astype(np.float32)
+    t = np.array([0.3, -0.1, 0.2], np.float32)
+    T12 = np.eye(4, dtype=np.float32)
+    T12[:3, :3] = R
+    T12[:3, 3] = t
+    # camera-2 points: p1 = T12 p2
+    pts2 = (pts1 - t) @ R
+
+    def proj(p):
+        return np.stack([K[0] * p[:, 0] / p[:, 2] + K[2],
+                         K[1] * p[:, 1] / p[:, 2] + K[3]], -1)
+
+    uv1 = proj(pts1) + rng.normal(0, 0.3, (n, 2))
+    uv2 = proj(pts2) + rng.normal(0, 0.3, (n, 2))
+    # start from a perturbed estimate
+    dT = np.asarray(se3.se3_exp(jnp.asarray(
+        np.array([0.03, -0.02, 0.02, 0.01, 0.02, -0.01], np.float32))))
+    T_ref, s = refine_relative_se3((dT @ T12).astype(np.float32), pts1, pts2,
+                                   uv1.astype(np.float32),
+                                   uv2.astype(np.float32),
+                                   np.ones(n, np.float32), K)
+    assert abs(s - 1.0) < 1e-6  # scale frozen
+    err = np.asarray(se3.se3_log(jnp.asarray(
+        (np.linalg.inv(T12) @ T_ref).astype(np.float32))))
+    assert np.linalg.norm(err) < 5e-3, err
+
+
+def test_mono_initializer(rng):
+    from planarslam_tpu.solvers.initializer import initialize_two_view
+
+    K = (300.0, 310.0, 160.0, 120.0)
+    n = 120
+    pts = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(3, 8, n)
+    R = Rotation.from_rotvec([0.02, 0.1, -0.01]).as_matrix().astype(np.float32)
+    t = np.array([0.4, 0.05, 0.1], np.float32)
+    t_unit = t / np.linalg.norm(t)
+
+    def proj(p):
+        return np.stack([K[0] * p[:, 0] / p[:, 2] + K[2],
+                         K[1] * p[:, 1] / p[:, 2] + K[3]], -1)
+
+    uv1 = proj(pts).astype(np.float32)
+    uv2 = proj(pts @ R.T + t).astype(np.float32)
+    res = initialize_two_view(uv1, uv2, np.ones(n, bool), K)
+    assert res.success
+    np.testing.assert_allclose(res.T_21[:3, :3], R, atol=0.02)
+    # translation recovered up to scale
+    assert abs(abs(res.T_21[:3, 3] @ t_unit) - 1.0) < 0.05
+    assert res.inliers.sum() > 100
+
+
+def test_dryrun_multichip_entry():
+    """The driver's multichip dry-run must work on the 8-device CPU mesh."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles_tiny():
+    """entry() returns a jittable fn (checked at tiny shapes for CPU CI; the
+    driver compile-checks the full-size version on the TPU)."""
+    import jax
+
+    from planarslam_tpu.io import synthetic
+    from planarslam_tpu.slam.frame import extract_frame
+
+    cfg = SystemConfig.tiny()
+    seq = synthetic.make_sequence(n_frames=1, width=cfg.camera.width,
+                                  height=cfg.camera.height)
+    gray, depth = seq.render(0)
+    out = jax.jit(lambda g, d: extract_frame(g, d, cfg))(
+        jnp.asarray(gray), jnp.asarray(depth))
+    assert bool(np.asarray(out.points.valid).sum() > 10)

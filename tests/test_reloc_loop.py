@@ -80,8 +80,8 @@ def test_relocalization_after_lost():
 
 
 def test_loop_closing_on_loop_sequence():
-    """A loop trajectory revisiting the start: the loop detector should fire
-    (or at least the machinery must run without corrupting the map)."""
+    """A loop trajectory revisiting the start: tracking must survive the
+    whole loop and the loop machinery must not corrupt the map."""
     from planarslam_tpu.io import synthetic
     from planarslam_tpu.slam.system import System
     from planarslam_tpu.evaluation.ate import ate_rmse
@@ -89,9 +89,9 @@ def test_loop_closing_on_loop_sequence():
     cfg = SystemConfig.tiny()
     # shorten the consistency requirement for the short test sequence
     import dataclasses
-    cfg = cfg.replace(loop=dataclasses.replace(cfg.loop, min_kf_gap=4,
+    cfg = cfg.replace(loop=dataclasses.replace(cfg.loop, min_kf_gap=3,
                                                consistency_threshold=2))
-    seq = synthetic.make_sequence(n_frames=26, kind="loop",
+    seq = synthetic.make_sequence(n_frames=30, kind="loop",
                                   width=cfg.camera.width,
                                   height=cfg.camera.height)
     slam = System(config=cfg)
@@ -100,8 +100,49 @@ def test_loop_closing_on_loop_sequence():
         slam.track_rgbd(g, d, seq.timestamps[i])
     est = slam.frame_poses_wc()
     err = ate_rmse(est[:, :3, 3], seq.poses_wc[:, :3, 3])
+    assert slam.tracker.stats["lost"] <= 2, slam.tracker.stats
     assert err < 0.08, f"loop sequence ATE {err}"
     assert np.isfinite(slam.map.kf_pose[:slam.map.n_kf]).all()
+
+
+def test_loop_verify_and_correct_constructed():
+    """Direct validation of loop verification + correction: build a map by
+    tracking, inject drift into the latest keyframe chain, then hand the
+    loop closer a (current KF, loop KF) pair observing the same geometry.
+    The correction must pull the drifted poses back."""
+    from planarslam_tpu.io import synthetic
+    from planarslam_tpu.slam.system import System
+
+    cfg = SystemConfig.tiny()
+    seq = synthetic.make_sequence(n_frames=16, width=cfg.camera.width,
+                                  height=cfg.camera.height)
+    slam = System(config=cfg, enable_loop_closing=True)
+    for i in range(len(seq)):
+        g, d = seq.render(i)
+        slam.track_rgbd(g, d, seq.timestamps[i])
+    m = slam.map
+    if m.n_kf < 3:
+        return
+    # duplicate KF0's snapshot as a fake "current" KF with a drifted pose:
+    # same features/associations as KF0 -> verification must find the
+    # relative transform equal to the injected drift
+    kf = m.alloc_keyframe()
+    src = 0
+    m.kf_valid[kf] = True
+    drift = np.eye(4, dtype=np.float32)
+    drift[:3, 3] = [0.08, -0.04, 0.06]
+    m.kf_pose[kf] = (drift @ m.kf_pose[src]).astype(np.float32)
+    for arr in ("kf_uv", "kf_ur", "kf_depth", "kf_level", "kf_angle",
+                "kf_desc", "kf_feat_valid", "kf_pt_idx", "kf_bow"):
+        getattr(m, arr)[kf] = getattr(m, arr)[src]
+    m.kf_parent[kf] = m.n_kf - 2
+    pose_before = m.kf_pose[kf].copy()
+    ok = slam.loop_closer._verify_and_correct(kf, src)
+    assert ok, "loop verification failed on identical snapshots"
+    # corrected pose must be (near) KF0's pose, drift removed
+    delta = np.linalg.norm(m.kf_pose[kf][:3, 3] - m.kf_pose[src][:3, 3])
+    drift_size = np.linalg.norm(pose_before[:3, 3] - m.kf_pose[src][:3, 3])
+    assert delta < 0.4 * drift_size, (delta, drift_size)
 
 
 def test_global_ba_improves_or_keeps(rng):
