@@ -40,11 +40,13 @@ def main() -> None:
     frames = [seq.render(i) for i in range(N_FRAMES)]  # pre-render (host)
 
     slam = System(config=cfg)
-    times = []
+    times, feat_times, track_times = [], [], []
     for i, (gray, depth) in enumerate(frames):
         t0 = time.perf_counter()
         slam.track_rgbd(gray, depth, seq.timestamps[i])
         times.append(time.perf_counter() - t0)
+        feat_times.append(slam.tracker.last_feature_time)
+        track_times.append(slam.tracker.last_track_time)
 
     t = np.asarray(times[WARMUP:])
     median_ms = float(np.median(t) * 1e3)
@@ -60,6 +62,10 @@ def main() -> None:
         "detail": {
             "median_ms_per_frame": round(median_ms, 3),
             "mean_ms_per_frame": round(float(t.mean() * 1e3), 3),
+            "median_feature_ms": round(
+                float(np.median(feat_times[WARMUP:]) * 1e3), 3),
+            "median_track_ms": round(
+                float(np.median(track_times[WARMUP:]) * 1e3), 3),
             "ate_rmse_m": round(float(ate), 5),
             "n_frames": N_FRAMES,
             "resolution": [cfg.camera.width, cfg.camera.height],

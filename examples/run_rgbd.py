@@ -85,8 +85,8 @@ def main() -> int:
         dt = time.perf_counter() - t0
         times.append(dt)
         total_log.write(f"{dt * 1e3:.3f}\n")
-        track_log.write(f"{dt * 1e3:.3f}\n")
-        feature_log.write(f"{dt * 1e3:.3f}\n")
+        track_log.write(f"{slam.tracker.last_track_time * 1e3:.3f}\n")
+        feature_log.write(f"{slam.tracker.last_feature_time * 1e3:.3f}\n")
         if i % 30 == 0:
             print(f"frame {i}/{n_total}  {dt * 1e3:.1f} ms  "
                   f"state={slam.get_tracking_state().name}")

@@ -88,6 +88,10 @@ class Tracking:
         self.last_kf_frame_id = -1
         self.records: List[FrameRecord] = []
         self.only_tracking = False  # localization mode: no map growth
+        # per-stage timing, mirroring the reference's Feature/Track split
+        # (`src/Tracking.cc:175-198`)
+        self.last_feature_time = 0.0
+        self.last_track_time = 0.0
         self.new_plane_flag = False
         self.manhattan_ok = False
         self.n_inliers = 0
@@ -149,11 +153,17 @@ class Tracking:
     def track(self, gray: np.ndarray, depth: np.ndarray,
               timestamp: float) -> Optional[np.ndarray]:
         """Process one RGB-D frame; returns T_cw (or None before init)."""
+        import time as _time
+
         self.frame_id += 1
         self.stats["frames"] += 1
         self._last_depth = np.asarray(depth, np.float32)
+        t0 = _time.perf_counter()
         feats = extract_frame(jnp.asarray(gray, dtype=jnp.float32),
                               jnp.asarray(depth, dtype=jnp.float32), self.cfg)
+        jax.block_until_ready(feats.points.desc)
+        self.last_feature_time = _time.perf_counter() - t0
+        t1 = _time.perf_counter()
 
         if self.state in (TrackingState.NO_IMAGES_YET,
                           TrackingState.NOT_INITIALIZED):
@@ -161,6 +171,7 @@ class Tracking:
             return self.T_cw.copy()
 
         ok = self._track_frame(feats, timestamp)
+        self.last_track_time = _time.perf_counter() - t1
         if not ok:
             self.stats["lost"] += 1
             self.state = TrackingState.LOST

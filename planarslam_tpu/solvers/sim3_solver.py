@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from planarslam_tpu.geometry import se3
+
 
 def horn_align(src: jnp.ndarray, dst: jnp.ndarray,
                weights: jnp.ndarray, with_scale: bool = False):
