@@ -127,6 +127,21 @@ def ominus_ver(p_est, p_meas):
     return jnp.stack([dot, jnp.zeros_like(dot)], axis=-1)
 
 
+def transform_np(T, coeffs):
+    """Host (numpy) version of `transform` — avoids eager device dispatch on
+    per-frame host paths (each eager op costs ~20 ms under the axon tunnel)."""
+    import numpy as np
+
+    T = np.asarray(T)
+    c = np.asarray(coeffs)
+    single = c.ndim == 1
+    c2 = np.atleast_2d(c)
+    n_new = c2[:, :3] @ T[:3, :3].T
+    d_new = c2[:, 3] - n_new @ T[:3, 3]
+    out = np.concatenate([n_new, d_new[:, None]], axis=-1)
+    return out[0] if single else out
+
+
 def point_plane_distance(coeffs, pts):
     """Signed distance of points (..., N, 3) to plane (..., 4)."""
     c = normalize(coeffs)

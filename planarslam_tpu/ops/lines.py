@@ -99,9 +99,22 @@ def detect_lines(gray: jnp.ndarray, cfg: LineConfig,
     # polarity because theta is already folded to [0, pi)
     r_bin = jnp.clip(((rho + diag) / rho_res).astype(jnp.int32), 0, n_rho - 1)
 
-    bin_id = t_bin * n_rho + r_bin
-    weights = jnp.where(edge, mag, 0.0).reshape(-1)
-    hough = jax.ops.segment_sum(weights, bin_id.reshape(-1),
+    # --- restrict all per-line work to the strongest E edge pixels --------
+    # The dense (L, H*W) formulation moves hundreds of MB per frame; the
+    # top-E restriction keeps every array at (L, E) (HBM-bandwidth fix).
+    E = min(6144, h * w)
+    edge_score = jnp.where(edge, mag, 0.0).reshape(-1)
+    top_mag, top_pix = jax.lax.top_k(edge_score, E)
+    flat_edge = top_mag > 0.0
+    flat_t = t_bin.reshape(-1)[top_pix]
+    flat_r = rho.reshape(-1)[top_pix]
+    flat_u = uu.reshape(-1)[top_pix]
+    flat_v = vv.reshape(-1)[top_pix]
+    flat_mag = top_mag
+
+    bin_id = flat_t * n_rho + jnp.clip(
+        ((flat_r + diag) / rho_res).astype(jnp.int32), 0, n_rho - 1)
+    hough = jax.ops.segment_sum(jnp.where(flat_edge, flat_mag, 0.0), bin_id,
                                 num_segments=N_THETA * n_rho)
     hough2d = hough.reshape(N_THETA, n_rho)
     # peak NMS over the hough grid (wrap theta via concatenation)
@@ -118,13 +131,6 @@ def detect_lines(gray: jnp.ndarray, cfg: LineConfig,
     rho_l = (pk_r.astype(jnp.float32) + 0.5) * rho_res - diag
 
     # supporting pixels: same orientation bin (±1, wrap) & rho within 1 bin
-    flat_t = t_bin.reshape(-1)
-    flat_r = rho.reshape(-1)
-    flat_edge = edge.reshape(-1)
-    flat_u = uu.reshape(-1)
-    flat_v = vv.reshape(-1)
-    flat_mag = mag.reshape(-1)
-
     dt = jnp.abs(flat_t[None, :] - pk_t[:, None])
     dt = jnp.minimum(dt, N_THETA - dt)
     support = (flat_edge[None, :] & (dt <= 1)
@@ -336,6 +342,7 @@ def extract_line_features(gray: jnp.ndarray, depth: jnp.ndarray,
                         has_3d=has3d, valid=valid)
 
 
+@partial(jax.jit, static_argnames=("max_angle", "ratio", "min_sim"))
 def match_lines(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
                 valid_a: jnp.ndarray, valid_b: jnp.ndarray,
                 angle_a: jnp.ndarray, angle_b: jnp.ndarray,

@@ -11,6 +11,7 @@ and duplicate resolution — all static-shape tensor ops that fuse under jit.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -71,6 +72,7 @@ def rotation_histogram_filter(angle_src: jnp.ndarray, angle_tgt_matched: jnp.nda
     return valid & keep_bin[bins]
 
 
+@partial(jax.jit, static_argnames=("max_dist", "ratio", "mutual"))
 def match_descriptors(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
                       valid_a: jnp.ndarray, valid_b: jnp.ndarray,
                       max_dist: int = 50, ratio: float = 0.9,

@@ -104,17 +104,29 @@ class LocalMapping:
                 continue
             f1 = np.flatnonzero(ok)
             f2 = idx[f1]
+            # static-shape padding -> one compilation of the triangulator
+            CAP = 256
+            f1 = f1[:CAP]
+            f2 = f2[:CAP]
+            n_c = len(f1)
+            uv1 = np.zeros((CAP, 2), np.float32)
+            uv2 = np.zeros((CAP, 2), np.float32)
+            is2a = np.ones(CAP, np.float32)
+            is2b = np.ones(CAP, np.float32)
+            uv1[:n_c] = m.kf_uv[kf][f1]
+            uv2[:n_c] = m.kf_uv[nb][f2]
+            is2a[:n_c] = s2[m.kf_level[kf][f1]]
+            is2b[:n_c] = s2[m.kf_level[nb][f2]]
             P1 = Kmat @ T1[:3]
             P2 = Kmat @ T2[:3]
             X, fin = triangulate(jnp.asarray(P1), jnp.asarray(P2),
-                                 jnp.asarray(m.kf_uv[kf][f1]),
-                                 jnp.asarray(m.kf_uv[nb][f2]))
+                                 jnp.asarray(uv1), jnp.asarray(uv2))
             good = reprojection_checks(
                 X, jnp.asarray(T1), jnp.asarray(T2),
-                jnp.asarray(m.kf_uv[kf][f1]), jnp.asarray(m.kf_uv[nb][f2]),
-                K, jnp.asarray(s2[m.kf_level[kf][f1]]),
-                jnp.asarray(s2[m.kf_level[nb][f2]]))
+                jnp.asarray(uv1), jnp.asarray(uv2),
+                K, jnp.asarray(is2a), jnp.asarray(is2b))
             good = np.asarray(good & fin)
+            good[n_c:] = False
             sel = np.flatnonzero(good)
             if len(sel) == 0:
                 continue

@@ -100,6 +100,8 @@ class Tracking:
         self.inv_level_sigma2 = (1.0 / s2).astype(np.float32)
         self.K = (cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy)
         self.wh = (float(cfg.camera.width), float(cfg.camera.height))
+        # built once: eager jnp scalar creation costs ~20ms/op on the tunnel
+        self._pose_weights = pose_opt.PoseOptWeights.from_config(cfg.planes)
         self._search_frame = partial(
             jax.jit(matching.search_by_projection,
                     static_argnames=("K", "image_wh", "bf", "scale_factor",
@@ -142,7 +144,7 @@ class Tracking:
 
     def _run_pose_opt(self, T_init, points=None, lines=None, planes=None,
                       par=None, ver=None, rotation_fixed=False):
-        w = pose_opt.PoseOptWeights.from_config(self.cfg.planes)
+        w = self._pose_weights
         return pose_opt.pose_optimize(
             jnp.asarray(T_init.astype(np.float32)), self.K,
             self.cfg.camera.bf, points=points, lines=lines, planes=planes,
@@ -161,7 +163,8 @@ class Tracking:
         t0 = _time.perf_counter()
         feats = extract_frame(jnp.asarray(gray, dtype=jnp.float32),
                               jnp.asarray(depth, dtype=jnp.float32), self.cfg)
-        jax.block_until_ready(feats.points.desc)
+        # NOTE: no block_until_ready here — a host sync costs a full tunnel
+        # RTT (~30 ms); the extraction time is folded into track time
         self.last_feature_time = _time.perf_counter() - t0
         t1 = _time.perf_counter()
 
@@ -539,8 +542,7 @@ class Tracking:
         if len(idxs) == 0 or not m.pl_valid.any():
             return {"direct": direct, "par": par, "ver": ver}
         T_wc_T = np.linalg.inv(self.T_cw).astype(np.float32)
-        pi_w = np.asarray(plane_geo.transform(
-            jnp.asarray(T_wc_T), jnp.asarray(coeffs_c[idxs])))
+        pi_w = plane_geo.transform_np(T_wc_T, coeffs_c[idxs])
         d, p, v = native.associate_planes(
             pi_w.astype(np.float64), m.pl_coeffs.astype(np.float64),
             m.pl_valid, m.pl_cloud, m.pl_cloud_n,
@@ -693,8 +695,7 @@ class Tracking:
                              "par": np.full(cfg.planes.max_planes, -1, np.int32),
                              "ver": np.full(cfg.planes.max_planes, -1, np.int32)}
         for i in np.flatnonzero(pl_valid):
-            pi_w = np.asarray(plane_geo.transform(
-                jnp.asarray(T_wc), jnp.asarray(coeffs_c[i])))
+            pi_w = plane_geo.transform_np(T_wc, coeffs_c[i])
             j = plane_matches["direct"][i]
             if j < 0:
                 j = m.alloc_plane()

@@ -42,8 +42,11 @@ def global_bundle_adjustment(slam_map, cfg: SystemConfig,
         return
     pt_slot = {int(p): i for i, p in enumerate(pt_ids)}
 
-    Kt = len(ids)
-    fixed_mask = np.zeros(Kt, np.float32)
+    # fixed KF dimension (pad with fixed dummies -> single compilation)
+    Kt = MAX_GBA_KF
+    n_real = len(ids)
+    fixed_mask = np.ones(Kt, np.float32)
+    fixed_mask[:n_real] = 0.0
     fixed_mask[0] = 1.0  # gauge: first keyframe fixed (reference GBA)
 
     F = cfg.orb.max_keypoints
@@ -68,7 +71,8 @@ def global_bundle_adjustment(slam_map, cfg: SystemConfig,
     P_pad = MAX_GBA_PTS
     pts_p = np.zeros((P_pad, 3), np.float32)
     pts_p[:len(pt_ids)] = m.pt_xyz[pt_ids]
-    poses_before = m.kf_pose[ids].astype(np.float32)
+    poses_before = np.tile(np.eye(4, dtype=np.float32), (Kt, 1, 1))
+    poses_before[:n_real] = m.kf_pose[ids].astype(np.float32)
 
     poses_out, pts_out, chi2 = _ba_iterate(
         jnp.asarray(poses_before), jnp.asarray(fixed_mask),

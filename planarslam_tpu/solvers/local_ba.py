@@ -202,13 +202,15 @@ def local_bundle_adjustment(slam_map, kf: int, cfg: SystemConfig) -> None:
             break
     # KF0 is always gauge-fixed if local
     all_kfs = local + fixed
-    Kt = len(all_kfs)
-    fixed_mask = np.zeros(Kt, np.float32)
+    # pad the KF dimension to a fixed size (dummy fixed KFs with no obs) so
+    # the jitted core compiles once
+    Kt = MAX_LOCAL_KF + MAX_FIXED_KF
+    n_real = len(all_kfs)
+    fixed_mask = np.ones(Kt, np.float32)  # dummies fixed
     for i, k in enumerate(all_kfs):
-        if k in fixed or k == 0:
-            fixed_mask[i] = 1.0
-    if fixed_mask.sum() == 0:
-        fixed_mask[np.argmin(local)] = 1.0  # gauge
+        fixed_mask[i] = 1.0 if (k in fixed or k == 0) else 0.0
+    if fixed_mask[:n_real].sum() == 0:
+        fixed_mask[int(np.argmin(local))] = 1.0  # gauge
 
     F = cfg.orb.max_keypoints
     P = len(pt_ids)
@@ -230,7 +232,8 @@ def local_bundle_adjustment(slam_map, kf: int, cfg: SystemConfig) -> None:
     obs_mask = (obs_slot >= 0).astype(np.float32)
 
     pts0 = m.pt_xyz[pt_ids].astype(np.float32)
-    poses0 = m.kf_pose[all_kfs].astype(np.float32)
+    poses0 = np.tile(np.eye(4, dtype=np.float32), (Kt, 1, 1))
+    poses0[:n_real] = m.kf_pose[all_kfs].astype(np.float32)
 
     # pad the point dimension for stable compile shapes
     P_pad = MAX_LOCAL_PTS

@@ -46,12 +46,8 @@ def _dlt_pose(xw: jnp.ndarray, xn: jnp.ndarray) -> jnp.ndarray:
     return se3.rt_to_T(R, t)
 
 
-@partial(jax.jit, static_argnames=("n_hyp",))
-def _pnp_ransac(xw, uv_n, valid, inv_sigma2, chi2_gate, n_hyp=128):
-    n = xw.shape[0]
-    rng = np.random.default_rng(11)
-    picks = jnp.asarray(rng.integers(0, max(n, 1), (n_hyp, 6)))
-
+@jax.jit
+def _pnp_ransac(xw, uv_n, valid, inv_sigma2, picks, chi2_gate):
     def hypo(pick):
         T = _dlt_pose(xw[pick], uv_n[pick])
         pc = se3.transform_points(T, xw)
@@ -96,11 +92,25 @@ def pnp_ransac(
     uv_n = np.stack([(uv[:, 0] - cx) / fx, (uv[:, 1] - cy) / fy], axis=-1)
     if inv_sigma2 is None:
         inv_sigma2 = np.ones(n, np.float32)
+    # static-shape padding (see sim3_solver._pad_bucket): avoid per-call
+    # recompiles for varying correspondence counts
+    from planarslam_tpu.solvers.sim3_solver import _pad_bucket
+
+    cap = _pad_bucket(n)
+    xw_p = np.zeros((cap, 3), np.float32)
+    uv_p = np.zeros((cap, 2), np.float32)
+    is2_p = np.ones(cap, np.float32)
+    v_p = np.zeros(cap, bool)
+    xw_p[:n] = pts_w
+    uv_p[:n] = uv_n
+    is2_p[:n] = inv_sigma2
+    v_p[:n] = valid
+    rng = np.random.default_rng(11)
+    picks = rng.integers(0, max(n, 1), (n_hyp, 6)).astype(np.int32)
     # chi2 gate in pixels^2 -> normalized: scale by mean focal^2
     f2 = (fx * fy)
     T, inl, score = _pnp_ransac(
-        jnp.asarray(pts_w.astype(np.float32)),
-        jnp.asarray(uv_n.astype(np.float32)),
-        jnp.asarray(valid), jnp.asarray(inv_sigma2 * f2),
-        jnp.float32(chi2_gate), n_hyp=n_hyp)
-    return np.asarray(T), np.asarray(inl), int(np.asarray(inl).sum())
+        jnp.asarray(xw_p), jnp.asarray(uv_p), jnp.asarray(v_p),
+        jnp.asarray(is2_p * f2), jnp.asarray(picks), jnp.float32(chi2_gate))
+    inl = np.asarray(inl)[:n]
+    return np.asarray(T), inl, int(inl.sum())

@@ -47,11 +47,9 @@ def horn_align(src: jnp.ndarray, dst: jnp.ndarray,
     return R, t, s
 
 
-@partial(jax.jit, static_argnames=("n_hyp", "with_scale"))
-def _ransac_align(src, dst, valid, threshold, n_hyp=64, with_scale=False):
+@partial(jax.jit, static_argnames=("with_scale",))
+def _ransac_align(src, dst, valid, triplets, threshold, with_scale=False):
     n = src.shape[0]
-    rng = np.random.default_rng(7)
-    triplets = jnp.asarray(rng.integers(0, max(n, 1), (n_hyp, 3)))
 
     def one(tri):
         w = jnp.zeros((n,)).at[tri].set(1.0) * valid
@@ -75,6 +73,29 @@ def _ransac_align(src, dst, valid, threshold, n_hyp=64, with_scale=False):
     return R, t, s, jnp.sum(inl), inl
 
 
+def _pad_bucket(n: int) -> int:
+    """Static shape bucket — avoids a recompile for every correspondence
+    count (each XLA compile costs ~0.5-1 s)."""
+    for cap in (64, 256, 1024, 4096):
+        if n <= cap:
+            return cap
+    return ((n + 4095) // 4096) * 4096
+
+
+def _pad_pair(src, dst, n_hyp, seed=7):
+    n = len(src)
+    cap = _pad_bucket(n)
+    s = np.zeros((cap, 3), np.float32)
+    d = np.zeros((cap, 3), np.float32)
+    s[:n] = src
+    d[:n] = dst
+    v = np.zeros((cap,), np.float32)
+    v[:n] = 1.0
+    rng = np.random.default_rng(seed)
+    picks = rng.integers(0, max(n, 1), (n_hyp, 3)).astype(np.int32)
+    return s, d, v, picks
+
+
 def horn_ransac_se3(src: np.ndarray, dst: np.ndarray,
                     threshold: float = 0.10, n_hyp: int = 64
                     ) -> Tuple[np.ndarray, int, np.ndarray]:
@@ -83,13 +104,14 @@ def horn_ransac_se3(src: np.ndarray, dst: np.ndarray,
     n = len(src)
     if n < 3:
         return np.eye(4, dtype=np.float32), 0, np.zeros(n, bool)
-    valid = jnp.ones((n,), jnp.float32)
-    R, t, s, n_inl, inl = _ransac_align(jnp.asarray(src), jnp.asarray(dst),
-                                        valid, threshold, n_hyp=n_hyp)
+    s, d, v, picks = _pad_pair(src, dst, n_hyp)
+    R, t, sc, n_inl, inl = _ransac_align(
+        jnp.asarray(s), jnp.asarray(d), jnp.asarray(v), jnp.asarray(picks),
+        jnp.float32(threshold))
     T = np.eye(4, dtype=np.float32)
     T[:3, :3] = np.asarray(R)
     T[:3, 3] = np.asarray(t)
-    return T, int(n_inl), np.asarray(inl)
+    return T, int(n_inl), np.asarray(inl)[:n]
 
 
 @partial(jax.jit, static_argnames=("fix_scale", "n_iters"))
@@ -168,11 +190,11 @@ def horn_ransac_sim3(src: np.ndarray, dst: np.ndarray,
     n = len(src)
     if n < 3:
         return np.eye(4, dtype=np.float32), 1.0, 0, np.zeros(n, bool)
-    valid = jnp.ones((n,), jnp.float32)
-    R, t, s, n_inl, inl = _ransac_align(jnp.asarray(src), jnp.asarray(dst),
-                                        valid, threshold, n_hyp=n_hyp,
-                                        with_scale=True)
+    sp, dp, v, picks = _pad_pair(src, dst, n_hyp)
+    R, t, s, n_inl, inl = _ransac_align(
+        jnp.asarray(sp), jnp.asarray(dp), jnp.asarray(v), jnp.asarray(picks),
+        jnp.float32(threshold), with_scale=True)
     T = np.eye(4, dtype=np.float32)
     T[:3, :3] = np.asarray(R)
     T[:3, 3] = np.asarray(t)
-    return T, float(s), int(n_inl), np.asarray(inl)
+    return T, float(s), int(n_inl), np.asarray(inl)[:n]
