@@ -162,9 +162,13 @@ def render_frame(planes: List[TexturedPlane], T_wc: np.ndarray,
 
 def make_trajectory(n_frames: int, kind: str = "arc", seed: int = 3,
                     fps: float = 30.0) -> Tuple[np.ndarray, np.ndarray]:
-    """Smooth ground-truth trajectories inside the room. Returns (ts, Twc)."""
-    from planarslam_tpu.geometry import se3
-    import jax.numpy as jnp
+    """Smooth ground-truth trajectories inside the room. Returns (ts, Twc).
+
+    Pure numpy/scipy — a single eager JAX op on the axon tunnel flips the
+    runtime into sync mode (~30 ms per subsequent call), so host-side data
+    generation must never touch jnp.
+    """
+    from scipy.spatial.transform import Rotation
 
     ts = np.arange(n_frames) / fps
     poses = np.tile(np.eye(4), (n_frames, 1, 1))
@@ -191,9 +195,9 @@ def make_trajectory(n_frames: int, kind: str = "arc", seed: int = 3,
     else:
         raise ValueError(f"unknown trajectory kind {kind}")
     for i in range(n_frames):
-        Rz = np.asarray(se3.so3_exp(jnp.array([0.0, 0.0, roll[i]], dtype=jnp.float32)))
-        Ry = np.asarray(se3.so3_exp(jnp.array([0.0, yaw[i], 0.0], dtype=jnp.float32)))
-        Rx = np.asarray(se3.so3_exp(jnp.array([pitch[i], 0.0, 0.0], dtype=jnp.float32)))
+        Rz = Rotation.from_rotvec([0.0, 0.0, roll[i]]).as_matrix()
+        Ry = Rotation.from_rotvec([0.0, yaw[i], 0.0]).as_matrix()
+        Rx = Rotation.from_rotvec([pitch[i], 0.0, 0.0]).as_matrix()
         poses[i, :3, :3] = Ry @ Rx @ Rz
         poses[i, :3, 3] = [x[i], y[i], z[i]]
     return ts, poses

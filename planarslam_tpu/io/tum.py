@@ -67,11 +67,11 @@ def write_trajectory_tum(path: str, timestamps, poses_wc: np.ndarray) -> None:
 
     poses_wc: (N, 4, 4) camera-to-world transforms (Twc).
     """
-    from planarslam_tpu.geometry import se3
-    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation
 
     poses_wc = np.asarray(poses_wc)
-    qs = np.asarray(se3.R_to_quat(jnp.asarray(poses_wc[:, :3, :3])))
+    qs = Rotation.from_matrix(poses_wc[:, :3, :3]).as_quat()  # (x, y, z, w)
+    qs = qs * np.where(qs[:, 3:4] < 0, -1.0, 1.0)
     with open(path, "w") as f:
         for t, T, q in zip(timestamps, poses_wc, qs):
             tx, ty, tz = T[:3, 3]
@@ -81,8 +81,7 @@ def write_trajectory_tum(path: str, timestamps, poses_wc: np.ndarray) -> None:
 
 def read_trajectory_tum(path: str) -> Tuple[np.ndarray, np.ndarray]:
     """Read TUM trajectory -> (timestamps (N,), poses_wc (N,4,4))."""
-    from planarslam_tpu.geometry import se3
-    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation
 
     rows = []
     with open(path) as f:
@@ -97,7 +96,7 @@ def read_trajectory_tum(path: str) -> Tuple[np.ndarray, np.ndarray]:
     ts = arr[:, 0]
     t = arr[:, 1:4]
     q = arr[:, 4:8]
-    R = np.asarray(se3.quat_to_R(jnp.asarray(q, dtype=jnp.float32)))
+    R = Rotation.from_quat(q).as_matrix()
     poses = np.tile(np.eye(4, dtype=np.float64), (len(rows), 1, 1))
     poses[:, :3, :3] = R
     poses[:, :3, 3] = t

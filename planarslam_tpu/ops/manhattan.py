@@ -120,6 +120,7 @@ def track_manhattan_frame(
                            success=ok[-1])
 
 
+@jax.jit
 def seed_from_plane_normals(normals: jnp.ndarray, counts: jnp.ndarray,
                             valid: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Initial Manhattan frame from detected plane normals (the role of
@@ -127,10 +128,9 @@ def seed_from_plane_normals(normals: jnp.ndarray, counts: jnp.ndarray,
     pairs). Returns (R_cm (3,3), ok ()).
 
     Picks the best-supported plane as axis 1, the most-perpendicular
-    well-supported plane as axis 2, cross-completes axis 3.
+    well-supported plane as axis 2, cross-completes axis 3. Jitted: eager
+    ops flip the axon runtime into sync mode.
     """
-    import numpy as np
-
     normals = jnp.asarray(normals)
     w = jnp.where(valid, counts.astype(jnp.float32), 0.0)
     i0 = jnp.argmax(w)

@@ -1,0 +1,415 @@
+"""Fused per-frame device tracking step — one XLA program, one host sync.
+
+Motivation (measured on the axon TPU tunnel): every host<->device
+synchronization costs a full RTT (~30-45 ms) once the stream is in sync
+mode, while dispatches pipeline for ~1 ms. The reference's per-frame hot
+path therefore must execute as ONE device program per frame with ONE packed
+result pull, instead of the dozen kernel+pull pairs of the modular path.
+
+The fused step covers the reference's whole per-frame pipeline
+(`Tracking::Track` stages, SURVEY.md §3.2):
+    extraction (points/lines/planes/normals)
+  → Manhattan rotation tracking
+  → frame-to-frame matching (projection search + brute-force fallback)
+  → rotation-frozen translation optimization OR full pose optimization
+    (lax.cond on Manhattan success)
+  → local-map point/line matching against a device-resident map window
+  → on-device plane association (PlaneMatcher semantics incl.
+    parallel/vertical tags, using device plane clouds)
+  → full pose optimization over point/line/plane(+par/ver) residuals
+  → keyframe-policy statistics
+
+Host state that the policy needs comes back as one packed float32 vector
+(ints bitcast), parsed by `BundleLayout`. The previous frame's features and
+unprojected landmarks stay ON DEVICE between frames (`LastState`); the
+local-map window (`DeviceWindow`) is re-uploaded only when the map changes
+(uploads pipeline asynchronously — they do not cost an RTT).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from planarslam_tpu.config import SystemConfig
+from planarslam_tpu.geometry import plane as plane_geo
+from planarslam_tpu.geometry import se3
+from planarslam_tpu.ops import manhattan as manhattan_ops
+from planarslam_tpu.ops import matching
+from planarslam_tpu.slam.frame import FrameFeatures, extract_frame
+from planarslam_tpu.solvers import pose_opt
+
+WIN_PTS = 4096   # local-map point window capacity
+WIN_LNS = 256    # local-map line window capacity
+
+
+class LastState(NamedTuple):
+    """Device-resident previous-frame state (never pulled)."""
+
+    feats: FrameFeatures
+    pt3d_w: jnp.ndarray   # (K, 3) world positions of features with depth
+    valid3d: jnp.ndarray  # (K,) bool
+
+
+class DeviceWindow(NamedTuple):
+    """Device-resident local-map window (rebuilt on map mutation)."""
+
+    pt_xyz: jnp.ndarray     # (WIN_PTS, 3)
+    pt_desc: jnp.ndarray    # (WIN_PTS, 8) uint32
+    pt_normal: jnp.ndarray  # (WIN_PTS, 3)
+    pt_min_d: jnp.ndarray   # (WIN_PTS,)
+    pt_max_d: jnp.ndarray   # (WIN_PTS,)
+    pt_valid: jnp.ndarray   # (WIN_PTS,) bool
+    ln_sw: jnp.ndarray      # (WIN_LNS, 3)
+    ln_ew: jnp.ndarray      # (WIN_LNS, 3)
+    ln_desc: jnp.ndarray    # (WIN_LNS, D)
+    ln_valid: jnp.ndarray   # (WIN_LNS,) bool
+    pl_coeffs: jnp.ndarray  # (Mp, 4) world plane coeffs
+    pl_cloud: jnp.ndarray   # (Mp, C, 3)
+    pl_cloud_n: jnp.ndarray  # (Mp,) int32
+    pl_valid: jnp.ndarray   # (Mp,) bool
+
+
+class StepResult(NamedTuple):
+    packed: jnp.ndarray     # (B,) float32 packed host bundle
+    new_state: LastState
+
+
+class BundleLayout:
+    """Static layout of the packed host bundle."""
+
+    def __init__(self, cfg: SystemConfig):
+        K = cfg.orb.max_keypoints
+        L = cfg.lines.max_lines
+        P = cfg.planes.max_planes
+        self.fields = [
+            ("T_out", (4, 4), np.float32),
+            ("R_cm", (3, 3), np.float32),
+            ("flags", (4,), np.float32),       # manh_success, use_manh,
+                                               # n_in_stage1, n_in_stage2
+            ("ff_idx", (K,), np.int32),        # last-feat -> cur-feat match
+            ("win_idx", (K,), np.int32),       # cur-feat -> window point slot
+            ("pt_inlier", (K,), np.int32),     # stage-2 point inlier mask
+            ("win_found", (WIN_PTS,), np.int32),  # window point matched flag
+            ("win_visible", (WIN_PTS,), np.int32),  # window point in frustum
+            ("ln_win_idx", (L,), np.int32),    # cur-line -> window line slot
+            ("pl_direct", (P,), np.int32),     # frame plane -> map plane slot
+            ("pl_par", (P,), np.int32),
+            ("pl_ver", (P,), np.int32),
+            ("pl_coeffs_w", (P, 4), np.float32),  # frame planes in world
+            ("pl_valid", (P,), np.int32),
+            ("kf_stats", (4,), np.float32),    # tracked_close, nontracked_
+                                               # close, n_depth, n_tracked
+        ]
+        self.sizes = [int(np.prod(s)) for _, s, _ in self.fields]
+        self.total = sum(self.sizes)
+
+    def unpack(self, flat: np.ndarray) -> dict:
+        out = {}
+        off = 0
+        for (name, shape, dtype), size in zip(self.fields, self.sizes):
+            chunk = flat[off:off + size]
+            if dtype == np.int32:
+                chunk = chunk.view(np.int32)
+            out[name] = chunk.reshape(shape).copy()
+            off += size
+        return out
+
+
+def _pack(layout: BundleLayout, **arrays) -> jnp.ndarray:
+    parts = []
+    for name, shape, dtype in layout.fields:
+        a = arrays[name]
+        if dtype == np.int32:
+            a = jax.lax.bitcast_convert_type(a.astype(jnp.int32), jnp.float32)
+        else:
+            a = a.astype(jnp.float32)
+        parts.append(a.reshape(-1))
+    return jnp.concatenate(parts)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def make_last_state(gray, depth, T_cw, cfg: SystemConfig) -> LastState:
+    """Initial device state from the first frame (after init)."""
+    feats = extract_frame(gray, depth, cfg)
+    return _state_from(feats, T_cw, cfg)
+
+
+def _state_from(feats: FrameFeatures, T_cw, cfg: SystemConfig) -> LastState:
+    cam = cfg.camera
+    z = feats.points.depth
+    has = (z > 0) & feats.points.valid
+    x = (feats.points.uv[:, 0] - cam.cx) / cam.fx * z
+    y = (feats.points.uv[:, 1] - cam.cy) / cam.fy * z
+    pc = jnp.stack([x, y, jnp.maximum(z, 0.0)], axis=-1)
+    T_wc = se3.T_inv(T_cw)
+    pw = se3.transform_points(T_wc, pc)
+    return LastState(feats=feats, pt3d_w=jnp.where(has[:, None], pw, 0.0),
+                     valid3d=has)
+
+
+def _associate_planes_device(feats: FrameFeatures, T_cw, win: DeviceWindow,
+                             cfg: SystemConfig):
+    """On-device PlaneMatcher (`src/PlaneMatcher.cpp:10-81`)."""
+    pcfg = cfg.planes
+    T_wc = se3.T_inv(T_cw)
+    pi_w = plane_geo.transform(T_wc, feats.planes.coeffs)  # (P, 4)
+    nf = pi_w[:, :3] / jnp.linalg.norm(pi_w[:, :3], axis=-1,
+                                       keepdims=True).clip(1e-9)
+    nm = win.pl_coeffs[:, :3] / jnp.linalg.norm(
+        win.pl_coeffs[:, :3], axis=-1, keepdims=True).clip(1e-9)
+    cos = jnp.abs(nf @ nm.T)  # (P, M)
+    both = feats.planes.valid[:, None] & win.pl_valid[None, :]
+
+    # min |cloud . n_f + d_f| over each map plane's cloud
+    d_f = pi_w[:, 3] / jnp.linalg.norm(pi_w[:, :3], axis=-1).clip(1e-9)
+    dots = jnp.einsum("mcj,pj->pmc", win.pl_cloud, nf)  # (P, M, C)
+    dist = jnp.abs(dots + d_f[:, None, None])
+    c_ids = jnp.arange(win.pl_cloud.shape[1])[None, None, :]
+    dist = jnp.where(c_ids < win.pl_cloud_n[None, :, None], dist, jnp.inf)
+    dmin = dist.min(axis=-1)  # (P, M)
+
+    direct_ok = both & (cos > pcfg.assoc_angle) & (dmin < pcfg.assoc_dist)
+    dscore = jnp.where(direct_ok, dmin, jnp.inf)
+    best = jnp.argmin(dscore, axis=-1)
+    has_direct = jnp.isfinite(jnp.min(dscore, axis=-1))
+    direct = jnp.where(has_direct, best, -1).astype(jnp.int32)
+
+    par_score = jnp.where(both & (cos > pcfg.parallel_threshold), cos, -1.0)
+    par = jnp.where((par_score.max(axis=-1) > 0) & ~has_direct,
+                    jnp.argmax(par_score, axis=-1), -1).astype(jnp.int32)
+    ver_score = jnp.where(both & (cos < pcfg.vertical_threshold), cos, 2.0)
+    ver = jnp.where((ver_score.min(axis=-1) < 2.0) & ~has_direct,
+                    jnp.argmin(ver_score, axis=-1), -1).astype(jnp.int32)
+    return direct, par, ver, pi_w
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def fused_track_step(
+    gray: jnp.ndarray,
+    depth: jnp.ndarray,
+    T_last: jnp.ndarray,        # (4, 4) previous optimized pose
+    velocity: jnp.ndarray,      # (4, 4) motion model
+    R_wm: jnp.ndarray,          # (3, 3) world-from-Manhattan (identity if off)
+    manh_enabled: jnp.ndarray,  # () bool
+    last: LastState,
+    win: DeviceWindow,
+    weights: pose_opt.PoseOptWeights,
+    cfg: SystemConfig,
+) -> StepResult:
+    cam = cfg.camera
+    K = (cam.fx, cam.fy, cam.cx, cam.cy)
+    Kp = cfg.orb.max_keypoints
+    layout = BundleLayout(cfg)
+
+    feats = extract_frame(gray, depth, cfg)
+    T_pred = velocity @ T_last
+
+    # ---- Manhattan rotation tracking ------------------------------------
+    R_cm_pred = T_pred[:3, :3] @ R_wm
+    manh = manhattan_ops.track_manhattan_frame(
+        R_cm_pred, feats.normals, feats.normals_valid,
+        cone_sin=cfg.manhattan.cone_sin_track,
+        kernel=cfg.manhattan.mean_shift_kernel,
+        min_support=cfg.manhattan.min_axis_support)
+    use_manh = manh_enabled & manh.success
+    R_manh = manh.R_cm @ R_wm.T
+    T_init = jnp.where(use_manh,
+                       T_pred.at[:3, :3].set(R_manh), T_pred)
+
+    # ---- frame-to-frame matching ----------------------------------------
+    proj = matching.search_by_projection(
+        last.pt3d_w, last.feats.points.desc, last.valid3d, T_init,
+        feats.points.uv, feats.points.desc, feats.points.level,
+        feats.points.valid, feats.points.u_right,
+        K=K, image_wh=(float(cam.width), float(cam.height)), bf=cam.bf,
+        scale_factor=cfg.orb.scale_factor, radius=15.0,
+        max_dist=cfg.matcher.th_high, level_window=cfg.orb.n_levels)
+    bf_res = matching.match_descriptors(
+        last.feats.points.desc, feats.points.desc, last.valid3d,
+        feats.points.valid, max_dist=cfg.matcher.th_low, ratio=0.9)
+    n_proj = jnp.sum(proj.idx >= 0)
+    use_bf = n_proj < 20
+    ff_idx = jnp.where(use_bf, bf_res.idx, proj.idx)
+
+    # per-level information 1/sigma^2(level) (reference mvInvLevelSigma2)
+    inv_s2_feat = jnp.power(jnp.float32(cfg.orb.scale_factor),
+                            -2.0 * feats.points.level.astype(jnp.float32))
+
+    matched_ff = ff_idx >= 0
+    fi = jnp.clip(ff_idx, 0, Kp - 1)
+    obs1 = pose_opt.PointObs(
+        xw=last.pt3d_w,
+        uv=feats.points.uv[fi],
+        u_right=jnp.where(matched_ff, feats.points.u_right[fi], -1.0),
+        inv_sigma2=inv_s2_feat[fi],
+        valid=matched_ff)
+
+    def trans_branch(_):
+        return pose_opt.pose_optimize(T_init, K, cam.bf, points=obs1,
+                                      weights=weights, rotation_fixed=True)
+
+    def full_branch(_):
+        return pose_opt.pose_optimize(T_init, K, cam.bf, points=obs1,
+                                      weights=weights, rotation_fixed=False)
+
+    res1 = jax.lax.cond(use_manh, trans_branch, full_branch, None)
+    enough1 = res1.n_point_inliers >= cfg.tracking.min_matches_track
+    T1 = jnp.where(enough1, res1.T_cw, T_init)
+
+    # ---- local-map point matching ---------------------------------------
+    win_res = matching.search_by_projection(
+        win.pt_xyz, win.pt_desc, win.pt_valid, T1,
+        feats.points.uv, feats.points.desc, feats.points.level,
+        feats.points.valid, feats.points.u_right,
+        K=K, image_wh=(float(cam.width), float(cam.height)), bf=cam.bf,
+        scale_factor=cfg.orb.scale_factor, radius=4.0,
+        max_dist=cfg.matcher.th_high,
+        view_normals=win.pt_normal,
+        dist_range=(win.pt_min_d, win.pt_max_d), level_window=1)
+    # per-feature window slot (scatter the per-window-point result)
+    feat_slot = jnp.full((Kp,), -1, jnp.int32)
+    w_ids = jnp.arange(WIN_PTS, dtype=jnp.int32)
+    tgt = jnp.clip(win_res.idx, 0, Kp - 1)
+    feat_slot = feat_slot.at[tgt].max(
+        jnp.where(win_res.idx >= 0, w_ids, -1))
+    has_slot = feat_slot >= 0
+    slot = jnp.clip(feat_slot, 0, WIN_PTS - 1)
+
+    # temporal (VO) landmarks: stage-1 matches carried per current feature
+    # (the reference's UpdateLastFrame temporal points in
+    # TrackWithMotionModel, `src/Tracking.cc:1861`): window matches win on
+    # conflict, frame-to-frame landmarks fill the rest
+    fi_safe = jnp.where(matched_ff, ff_idx, Kp)  # out-of-range -> dropped
+    ff_xw = jnp.zeros((Kp, 3), jnp.float32).at[fi_safe].set(
+        last.pt3d_w, mode="drop")
+    ff_feat_valid = jnp.zeros((Kp,), bool).at[fi_safe].set(True, mode="drop")
+    obs2_valid = (has_slot | ff_feat_valid) & feats.points.valid
+    obs2 = pose_opt.PointObs(
+        xw=jnp.where(has_slot[:, None], win.pt_xyz[slot], ff_xw),
+        uv=feats.points.uv,
+        u_right=jnp.where(obs2_valid, feats.points.u_right, -1.0),
+        inv_sigma2=inv_s2_feat,
+        valid=obs2_valid)
+
+    # ---- local-map line matching ----------------------------------------
+    from planarslam_tpu.ops.lines import match_lines
+
+    Lf = cfg.lines.max_lines
+    lm_idx, _ = match_lines(win.ln_desc, feats.lines.desc, win.ln_valid,
+                            feats.lines.valid,
+                            jnp.zeros((win.ln_desc.shape[0],), jnp.float32),
+                            feats.lines.angle, max_angle=np.pi)
+    ln_slot = jnp.full((Lf,), -1, jnp.int32)
+    wl_ids = jnp.arange(win.ln_desc.shape[0], dtype=jnp.int32)
+    tgt_l = jnp.clip(lm_idx, 0, Lf - 1)
+    ln_slot = ln_slot.at[tgt_l].max(jnp.where(lm_idx >= 0, wl_ids, -1))
+    has_ln = ln_slot >= 0
+    lslot = jnp.clip(ln_slot, 0, win.ln_desc.shape[0] - 1)
+    line_obs = pose_opt.LineObs(
+        xw_s=win.ln_sw[lslot], xw_e=win.ln_ew[lslot],
+        line2d=feats.lines.line2d,
+        inv_sigma2=jnp.ones((Lf,), jnp.float32),
+        valid=has_ln & feats.lines.valid)
+
+    # ---- plane association + observations --------------------------------
+    pl_direct, pl_par, pl_ver, pi_w = _associate_planes_device(
+        feats, T1, win, cfg)
+    Mp = win.pl_coeffs.shape[0]
+
+    def plane_block(ids):
+        has = ids >= 0
+        j = jnp.clip(ids, 0, Mp - 1)
+        return pose_opt.PlaneObs(pi_w=win.pl_coeffs[j],
+                                 pi_obs=feats.planes.coeffs,
+                                 valid=has & feats.planes.valid)
+
+    # ---- final full pose optimization ------------------------------------
+    res2 = pose_opt.pose_optimize(
+        T1, K, cam.bf, points=obs2, lines=line_obs,
+        planes=plane_block(pl_direct), par_planes=plane_block(pl_par),
+        ver_planes=plane_block(pl_ver), weights=weights,
+        rotation_fixed=False)
+    ok2 = res2.n_point_inliers >= cfg.tracking.min_matches_local_map // 2
+    T_out = jnp.where(ok2, res2.T_cw, T1)
+
+    # drop outlier associations for the host tables
+    inl = res2.point_inlier
+    feat_slot_out = jnp.where(inl | ~has_slot, feat_slot, -1)
+
+    # window-point found/visible flags (MapPoint::IncreaseFound/Visible)
+    win_found = (win_res.idx >= 0).astype(jnp.int32)
+    pc_win = se3.transform_points(T_out, win.pt_xyz)
+    uv_win = se3.project(K, pc_win)
+    win_visible = (win.pt_valid & (pc_win[:, 2] > 0.05)
+                   & (uv_win[:, 0] >= 0) & (uv_win[:, 0] < cam.width)
+                   & (uv_win[:, 1] >= 0) & (uv_win[:, 1] < cam.height)
+                   ).astype(jnp.int32)
+
+    # keyframe-policy statistics (close-point rule `Tracking.cc:2150-2199`)
+    close = (feats.points.depth > 0) & (feats.points.depth
+                                        < cam.depth_threshold)
+    tracked = feat_slot_out >= 0
+    kf_stats = jnp.stack([
+        jnp.sum((close & tracked).astype(jnp.float32)),
+        jnp.sum((close & ~tracked & feats.points.valid).astype(jnp.float32)),
+        jnp.sum((feats.points.depth > 0).astype(jnp.float32)),
+        jnp.sum(tracked.astype(jnp.float32)),
+    ])
+
+    packed = _pack(
+        layout,
+        T_out=T_out, R_cm=manh.R_cm,
+        flags=jnp.stack([manh.success.astype(jnp.float32),
+                         use_manh.astype(jnp.float32),
+                         res1.n_point_inliers.astype(jnp.float32),
+                         res2.n_point_inliers.astype(jnp.float32)]),
+        ff_idx=ff_idx, win_idx=feat_slot_out,
+        pt_inlier=inl.astype(jnp.int32), win_found=win_found,
+        win_visible=win_visible,
+        ln_win_idx=ln_slot, pl_direct=pl_direct, pl_par=pl_par,
+        pl_ver=pl_ver, pl_coeffs_w=pi_w,
+        pl_valid=feats.planes.valid.astype(jnp.int32), kf_stats=kf_stats)
+
+    return StepResult(packed=packed,
+                      new_state=_state_from(feats, T_out, cfg))
+
+
+def build_window(slam_map, kf_ids: np.ndarray, cfg: SystemConfig
+                 ) -> Tuple[DeviceWindow, np.ndarray, np.ndarray]:
+    """Gather the local-map window from the host map and upload it.
+
+    Returns (window, pt_ids (WIN_PTS,), ln_ids (WIN_LNS,)) where the id
+    arrays map window slots back to map landmark ids (-1 for padding).
+    """
+    m = slam_map
+    pt_ids = m.local_map_points(kf_ids, cap=WIN_PTS)
+    ln_ids = m.local_map_lines(kf_ids, cap=WIN_LNS)
+    pt_pad = np.full(WIN_PTS, -1, np.int64)
+    pt_pad[:len(pt_ids)] = pt_ids
+    ln_pad = np.full(WIN_LNS, -1, np.int64)
+    ln_pad[:len(ln_ids)] = ln_ids
+    ip = np.clip(pt_pad, 0, None)
+    il = np.clip(ln_pad, 0, None)
+    ld = cfg.lines.desc_dim
+    win = DeviceWindow(
+        pt_xyz=jnp.asarray(m.pt_xyz[ip]),
+        pt_desc=jnp.asarray(m.pt_desc[ip]),
+        pt_normal=jnp.asarray(m.pt_normal[ip]),
+        pt_min_d=jnp.asarray(m.pt_min_dist[ip]),
+        pt_max_d=jnp.asarray(m.pt_max_dist[ip]),
+        pt_valid=jnp.asarray(pt_pad >= 0),
+        ln_sw=jnp.asarray(m.ln_sw[il]),
+        ln_ew=jnp.asarray(m.ln_ew[il]),
+        ln_desc=jnp.asarray(m.ln_desc[il]),
+        ln_valid=jnp.asarray(ln_pad >= 0),
+        pl_coeffs=jnp.asarray(m.pl_coeffs),
+        pl_cloud=jnp.asarray(m.pl_cloud),
+        pl_cloud_n=jnp.asarray(m.pl_cloud_n),
+        pl_valid=jnp.asarray(m.pl_valid),
+    )
+    return win, pt_pad, ln_pad

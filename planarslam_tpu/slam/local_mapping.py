@@ -147,6 +147,8 @@ class LocalMapping:
             m.pt_min_dist[ids] = m.pt_max_dist[ids] / (sf ** cfg.orb.n_levels) * 0.8
             m.pt_valid[ids] = True
             m.pt_nobs[ids] = 2
+            m.pt_found[ids] = 1
+            m.pt_visible[ids] = 1
             m.pt_first_kf[ids] = kf
             m.kf_pt_idx[kf, f1[sel]] = ids
             m.kf_pt_idx[nb, f2[sel]] = ids
@@ -211,6 +213,7 @@ class LocalMapping:
         """Reference `MapPointCulling` (`src/LocalMapping.cc:175`)."""
         m = self.map
         drop = []
+        erase = []
         for p, born in list(self._recent_pts.items()):
             if not m.pt_valid[p]:
                 drop.append(p)
@@ -218,29 +221,34 @@ class LocalMapping:
             age = kf - born
             ratio = m.pt_found[p] / max(m.pt_visible[p], 1)
             if m.pt_visible[p] >= 3 and ratio < 0.25:
-                m.pt_valid[p] = False
+                erase.append(p)
                 drop.append(p)
             elif age >= 2 and m.pt_nobs[p] <= 2:
-                m.pt_valid[p] = False
+                erase.append(p)
                 drop.append(p)
             elif age >= 3:
                 drop.append(p)  # graduated
+        if erase:
+            m.erase_point(np.asarray(erase))
         for p in drop:
             self._recent_pts.pop(p, None)
 
     def _cull_lines(self, kf: int) -> None:
         m = self.map
         drop = []
+        erase = []
         for l, born in list(self._recent_lns.items()):
             if not m.ln_valid[l]:
                 drop.append(l)
                 continue
             age = kf - born
             if age >= 2 and m.ln_nobs[l] <= 1:
-                m.ln_valid[l] = False
+                erase.append(l)
                 drop.append(l)
             elif age >= 3:
                 drop.append(l)
+        if erase:
+            m.erase_line(np.asarray(erase))
         for l in drop:
             self._recent_lns.pop(l, None)
 

@@ -34,13 +34,20 @@ from planarslam_tpu.slam.retrieval import KeyFrameDatabase
 
 class LoopClosing:
     def __init__(self, cfg: SystemConfig, slam_map: SlamMap,
-                 kf_db: Optional[KeyFrameDatabase] = None):
+                 kf_db: Optional[KeyFrameDatabase] = None,
+                 run_gba: bool = False):
         self.cfg = cfg
         self.map = slam_map
         self.db = kf_db or KeyFrameDatabase(cfg)
         self._consistency: dict[int, int] = {}  # candidate kf -> streak
         self.loops_closed = 0
         self.last_loop_kf = -10 ** 9
+        # The reference runs GBA as an abortable background thread after the
+        # essential-graph correction (`src/LoopClosing.cc:579`). Our
+        # synchronous GBA carries a chi2-improvement gate but can still
+        # deform weakly-connected keyframe chains, so the pose-graph +
+        # landmark re-anchoring is the default correction and GBA is opt-in.
+        self.run_gba = run_gba
 
     # ------------------------------------------------------------- detection
     def process_keyframe(self, kf: int) -> Optional[int]:
@@ -148,9 +155,11 @@ class LoopClosing:
                                 np.ones((len(ln_ids), 1), np.float32)], axis=1)
             arr[ln_ids] = np.einsum("nij,nj->ni", corr_l, h)[:, :3]
 
-        # global BA after the essential-graph correction (the reference
-        # spawns this as the transient 5th thread, `src/LoopClosing.cc:579`;
-        # single-controller design runs it synchronously)
-        from planarslam_tpu.solvers.global_ba import global_bundle_adjustment
+        if self.run_gba:
+            # global BA after the essential-graph correction (the reference
+            # spawns this as the transient 5th thread,
+            # `src/LoopClosing.cc:579`)
+            from planarslam_tpu.solvers.global_ba import \
+                global_bundle_adjustment
 
-        global_bundle_adjustment(m, self.cfg)
+            global_bundle_adjustment(m, self.cfg)

@@ -199,9 +199,20 @@ class SlamMap:
             coeffs_w.astype(np.float64))
 
     # -- landmark bookkeeping -------------------------------------------------
-    def erase_point(self, ids: np.ndarray) -> None:
+    def erase_point(self, ids) -> None:
+        """Invalidate points AND scrub their observation-table references —
+        slots are recycled by alloc_points, so stale ids would silently
+        rebind to different landmarks (fatal for BA)."""
+        ids = np.atleast_1d(np.asarray(ids))
         self.pt_valid[ids] = False
-        # lazily leave stale ids in kf_pt_idx; readers mask via pt_valid
+        tbl = self.kf_pt_idx[:self.n_kf]
+        tbl[np.isin(tbl, ids)] = -1
+
+    def erase_line(self, ids) -> None:
+        ids = np.atleast_1d(np.asarray(ids))
+        self.ln_valid[ids] = False
+        tbl = self.kf_ln_idx[:self.n_kf]
+        tbl[np.isin(tbl, ids)] = -1
 
     def replace_point(self, drop: int, keep: int) -> None:
         """MapPoint::Replace semantics: rewrite every observation of `drop`

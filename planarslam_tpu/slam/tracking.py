@@ -102,6 +102,16 @@ class Tracking:
         self.wh = (float(cfg.camera.width), float(cfg.camera.height))
         # built once: eager jnp scalar creation costs ~20ms/op on the tunnel
         self._pose_weights = pose_opt.PoseOptWeights.from_config(cfg.planes)
+        # fused device-step state (one host sync per tracked frame)
+        from planarslam_tpu.slam.device_tracker import BundleLayout
+
+        self._layout = BundleLayout(cfg)
+        self._fused_state = None      # device LastState
+        self._window = None           # DeviceWindow
+        self._win_pt_ids = None       # window slot -> map point id
+        self._win_ln_ids = None
+        self._window_dirty = True
+        self._host_last_map_pt = np.full(cfg.orb.max_keypoints, -1, np.int32)
         self._search_frame = partial(
             jax.jit(matching.search_by_projection,
                     static_argnames=("K", "image_wh", "bf", "scale_factor",
@@ -160,20 +170,28 @@ class Tracking:
         self.frame_id += 1
         self.stats["frames"] += 1
         self._last_depth = np.asarray(depth, np.float32)
-        t0 = _time.perf_counter()
-        feats = extract_frame(jnp.asarray(gray, dtype=jnp.float32),
-                              jnp.asarray(depth, dtype=jnp.float32), self.cfg)
-        # NOTE: no block_until_ready here — a host sync costs a full tunnel
-        # RTT (~30 ms); the extraction time is folded into track time
-        self.last_feature_time = _time.perf_counter() - t0
         t1 = _time.perf_counter()
+        self.last_feature_time = 0.0  # folded into the fused step
 
         if self.state in (TrackingState.NO_IMAGES_YET,
                           TrackingState.NOT_INITIALIZED):
+            feats = extract_frame(jnp.asarray(gray, dtype=jnp.float32),
+                                  jnp.asarray(depth, dtype=jnp.float32),
+                                  self.cfg)
             self._stereo_initialization(feats, timestamp)
+            if self.state == TrackingState.OK:
+                self._rebuild_fused_state(gray, depth)
             return self.T_cw.copy()
 
-        ok = self._track_frame(feats, timestamp)
+        if self.state == TrackingState.LOST or self._fused_state is None:
+            feats = extract_frame(jnp.asarray(gray, dtype=jnp.float32),
+                                  jnp.asarray(depth, dtype=jnp.float32),
+                                  self.cfg)
+            ok = self._track_frame(feats, timestamp)
+            if ok:
+                self._rebuild_fused_state(gray, depth)
+        else:
+            ok = self._track_frame_fused(gray, depth, timestamp)
         self.last_track_time = _time.perf_counter() - t1
         if not ok:
             self.stats["lost"] += 1
@@ -230,6 +248,7 @@ class Tracking:
             map_ln = np.full(self.cfg.lines.max_lines, -1, np.int32)
         self.last = LastFrame(feats=feats, T_cw=self.T_cw.copy(),
                               pt3d_w=pt3d, map_pt=map_pt, map_ln=map_ln)
+        self._host_last_map_pt = np.asarray(map_pt, np.int32).copy()
 
     # ------------------------------------------------------- frame tracking
     def _track_frame(self, feats: FrameFeatures, timestamp: float) -> bool:
@@ -332,6 +351,153 @@ class Tracking:
         self._set_last(feats, cur_map_pt, cur_map_ln)
         self.state = TrackingState.OK
         return True
+
+    # ----------------------------------------------------- fused device path
+    def _rebuild_fused_state(self, gray, depth) -> None:
+        from planarslam_tpu.slam.device_tracker import make_last_state
+
+        self._fused_state = make_last_state(
+            jnp.asarray(gray, dtype=jnp.float32),
+            jnp.asarray(depth, dtype=jnp.float32),
+            jnp.asarray(self.T_cw), self.cfg)
+        self._window_dirty = True
+
+    def _refresh_window(self) -> None:
+        from planarslam_tpu.slam.device_tracker import build_window
+
+        kf_ids = self.map.valid_kf_ids()
+        if len(kf_ids) > 12:
+            # current ref KF neighborhood (covisibility-local window)
+            ids = [self.ref_kf] + [int(c) for c in
+                                   self.map.covisible_kfs(self.ref_kf)[:11]]
+            kf_ids = np.asarray(sorted(set(i for i in ids
+                                           if self.map.kf_valid[i])))
+        self._window, self._win_pt_ids, self._win_ln_ids = build_window(
+            self.map, kf_ids, self.cfg)
+        self._window_dirty = False
+
+    def _track_frame_fused(self, gray, depth, timestamp: float) -> bool:
+        """One device program + one packed pull per frame (see
+        device_tracker.fused_track_step)."""
+        from planarslam_tpu.slam.device_tracker import fused_track_step
+
+        cfg = self.cfg
+        m = self.map
+        if self._window_dirty or self._window is None:
+            self._refresh_window()
+        manh_enabled = self.R_wm is not None
+        R_wm = self.R_wm if manh_enabled else np.eye(3, dtype=np.float32)
+
+        T_before = self.T_cw.copy()
+        result = fused_track_step(
+            jnp.asarray(gray, dtype=jnp.float32),
+            jnp.asarray(depth, dtype=jnp.float32),
+            jnp.asarray(self.T_cw), jnp.asarray(self.velocity),
+            jnp.asarray(R_wm.astype(np.float32)),
+            jnp.asarray(manh_enabled), self._fused_state, self._window,
+            self._pose_weights, cfg)
+        bundle = self._layout.unpack(np.asarray(result.packed))  # ONE sync
+        self._fused_state = result.new_state
+
+        flags = bundle["flags"]
+        if flags[0] > 0:
+            self.stats["manhattan_success"] += 1
+        if flags[1] > 0:
+            self.stats["translation_only"] += 1
+        else:
+            self.stats["full_pose"] += 1
+        self.manhattan_ok = flags[1] > 0
+        n_in2 = int(flags[3])
+        self.n_inliers = n_in2
+        if n_in2 < cfg.tracking.min_matches_local_map // 2:
+            return False
+
+        self.T_cw = bundle["T_out"].astype(np.float32)
+        self.velocity = (self.T_cw @ np.linalg.inv(T_before)).astype(
+            np.float32)
+
+        # landmark statistics (found/visible ratios feed culling)
+        vis = bundle["win_visible"] > 0
+        fnd = bundle["win_found"] > 0
+        ids = self._win_pt_ids
+        real = ids >= 0
+        m.pt_visible[ids[real & vis]] += 1
+        m.pt_found[ids[real & vis & fnd]] += 1
+
+        # associations: temporal carry (frame-to-frame matches propagate the
+        # last frame's landmark ids, reference UpdateLastFrame semantics)
+        # overridden by direct window matches
+        cur_map_pt = np.full(cfg.orb.max_keypoints, -1, np.int32)
+        ff = bundle["ff_idx"]
+        okf = (ff >= 0) & (self._host_last_map_pt >= 0)
+        carried = self._host_last_map_pt[okf]
+        carried_ok = self.map.pt_valid[np.clip(carried, 0, None)]
+        cur_map_pt[ff[okf][carried_ok]] = carried[carried_ok]
+        wi = bundle["win_idx"]
+        okw = wi >= 0
+        cur_map_pt[okw] = ids[wi[okw]]
+        # drop associations the final optimization rejected
+        inl_feat = bundle["pt_inlier"] > 0
+        cur_map_pt = np.where(inl_feat | (cur_map_pt < 0), cur_map_pt, -1)
+        # one feature per landmark (duplicate associations corrupt BA)
+        occ = np.flatnonzero(cur_map_pt >= 0)
+        _, keep = np.unique(cur_map_pt[occ], return_index=True)
+        drop = np.setdiff1d(np.arange(len(occ)), keep)
+        cur_map_pt[occ[drop]] = -1
+        self._host_last_map_pt = cur_map_pt.copy()
+        cur_map_ln = np.full(cfg.lines.max_lines, -1, np.int32)
+        li = bundle["ln_win_idx"]
+        okl = li >= 0
+        cur_map_ln[okl] = self._win_ln_ids[li[okl]]
+        plane_matches = {"direct": bundle["pl_direct"],
+                         "par": bundle["pl_par"], "ver": bundle["pl_ver"]}
+
+        # reference keyframe: strongest voter among matched landmarks
+        matched = cur_map_pt[cur_map_pt >= 0]
+        if len(matched) > 0 and m.n_kf > 0:
+            votes = (np.isin(m.kf_pt_idx[:m.n_kf], matched)
+                     & m.kf_valid[:m.n_kf, None]).sum(axis=1)
+            best = int(np.argmax(votes))
+            if votes[best] > 0:
+                self.ref_kf = best
+
+        # keyframe policy from device-computed statistics
+        if self._need_new_keyframe_fused(bundle["kf_stats"], cur_map_pt):
+            feats_np = jax.device_get(self._fused_state.feats)
+            kf = self._create_keyframe(feats_np, timestamp, cur_map_pt,
+                                       cur_map_ln, plane_matches)
+            self.ref_kf = kf
+            self.last_kf_frame_id = self.frame_id
+            self.stats["kfs"] += 1
+            self._window_dirty = True
+            # carry the newly created landmark ids into the next frame
+            self._host_last_map_pt = self.map.kf_pt_idx[kf].copy()
+
+        self.state = TrackingState.OK
+        return True
+
+    def _need_new_keyframe_fused(self, kf_stats: np.ndarray,
+                                 cur_map_pt: np.ndarray) -> bool:
+        cfg = self.cfg
+        if self.only_tracking:
+            return False
+        if self.map.n_kf >= self.map.n_kf_slots - 1:
+            return False
+        frames_since = self.frame_id - self.last_kf_frame_id
+        if frames_since >= cfg.tracking.max_frames_between_kf:
+            return True
+        if self.new_plane_flag:
+            return True
+        tracked_close, nontracked_close, _, n_tracked = [
+            int(v) for v in kf_stats]
+        need_close = tracked_close < 100 and nontracked_close > 70
+        min_obs = 3 if self.map.n_kf > 2 else 2
+        ref_row = self.map.kf_pt_idx[self.ref_kf]
+        ref_pts = ref_row[ref_row >= 0]
+        ref_pts = ref_pts[self.map.pt_valid[ref_pts]]
+        ref_obs = int((self.map.pt_nobs[ref_pts] >= min_obs).sum())
+        weak = n_tracked < 0.75 * max(ref_obs, 1)
+        return (weak or need_close) and n_tracked > 15 and frames_since >= 1
 
     # ------------------------------------------------------- relocalization
     def _relocalize(self, feats: FrameFeatures) -> Optional[np.ndarray]:
@@ -663,6 +829,8 @@ class Tracking:
             m.pt_min_dist[ids] = m.pt_max_dist[ids] / (sf ** cfg.orb.n_levels) * 0.8
             m.pt_valid[ids] = True
             m.pt_nobs[ids] = 1
+            m.pt_found[ids] = 1  # recycled slots carry stale statistics
+            m.pt_visible[ids] = 1
             m.pt_first_kf[ids] = kf
             m.kf_pt_idx[kf, new_feats] = ids
 

@@ -74,6 +74,27 @@ def global_bundle_adjustment(slam_map, cfg: SystemConfig,
     poses_before = np.tile(np.eye(4, dtype=np.float32), (Kt, 1, 1))
     poses_before[:n_real] = m.kf_pose[ids].astype(np.float32)
 
+    def host_chi(poses, pts):
+        """Masked median reprojection chi2 (host, numpy) — GBA quality gate."""
+        fx, fy, cx, cy = K
+        vals = []
+        for i in range(n_real):
+            sel = obs_slot[i] >= 0
+            if not sel.any():
+                continue
+            p = pts[obs_slot[i][sel]]
+            pc = p @ poses[i][:3, :3].T + poses[i][:3, 3]
+            z = np.maximum(pc[:, 2], 1e-6)
+            u = fx * pc[:, 0] / z + cx
+            v = fy * pc[:, 1] / z + cy
+            e2 = ((u - obs_uv[i][sel, 0]) ** 2
+                  + (v - obs_uv[i][sel, 1]) ** 2) * obs_is2[i][sel]
+            vals.append(np.minimum(e2, 20.0))  # robust cap
+        return float(np.median(np.concatenate(vals))) if vals else 0.0
+
+    pts_before_arr = pts_p.copy()
+    chi_before = host_chi(poses_before, pts_before_arr)
+
     poses_out, pts_out, chi2 = _ba_iterate(
         jnp.asarray(poses_before), jnp.asarray(fixed_mask),
         jnp.asarray(pts_p), jnp.asarray(obs_slot), jnp.asarray(obs_uv),
@@ -81,6 +102,12 @@ def global_bundle_adjustment(slam_map, cfg: SystemConfig,
         K, bf, n_iters=n_iters)
     poses_out = np.asarray(poses_out)
     pts_out = np.asarray(pts_out)
+
+    chi_after = host_chi(poses_out, pts_out)
+    if chi_after > 0.95 * chi_before:
+        # no meaningful improvement: the map was already self-consistent and
+        # any pose motion is gauge/nullspace wander — keep the input state
+        return
 
     # spanning-tree propagation for keyframes outside the window
     # (x_new = T_new_anchor^-1 T_old_anchor x_old chains through parents)

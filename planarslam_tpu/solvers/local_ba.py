@@ -57,12 +57,20 @@ def _proj_jacobians(pc, K, bf):
 @partial(jax.jit, static_argnames=("n_iters", "huber"))
 def _ba_iterate(kf_pose, kf_fixed_mask, pt_xyz, obs_pt_slot, obs_uv, obs_ur,
                 obs_inv_s2, obs_mask, K, bf, n_iters=5, huber=True,
-                damping=1e-4):
+                damping=1e-4, pose_prior=10.0):
     """Core point-BA iterations.
 
     kf_pose: (Kt, 4, 4) poses for local+fixed KFs (fixed ones masked);
     pt_xyz: (P, 3); obs_*: (Kt, F) tables with obs_pt_slot in [-1, P).
     Returns (kf_pose', pt_xyz', per-obs chi2).
+
+    pose_prior: weight of a weak quadratic prior pulling each free pose
+    toward its INITIAL estimate. BA of a sparsely-connected keyframe chain
+    has near-nullspace deformation modes (the whole structure drifts with
+    almost no reprojection cost when the single gauge keyframe has few
+    observations); the prior — negligible against any real observation
+    signal (~1e4x smaller than a typical pose Hessian diagonal) — pins those
+    modes without biasing well-constrained corrections.
     """
     Kt = kf_pose.shape[0]
     P = pt_xyz.shape[0]
@@ -144,9 +152,14 @@ def _ba_iterate(kf_pose, kf_fixed_mask, pt_xyz, obs_pt_slot, obs_uv, obs_ur,
         rhs = bc - jnp.einsum("kpil,pl->ki", HcpHinv, bp)
 
         S_mat = S.transpose(0, 2, 1, 3).reshape(Kt * 6, Kt * 6)
-        diag_pen = jnp.repeat(kf_fixed_mask, 6) * 1e10 + damping
+        diag_pen = (jnp.repeat(kf_fixed_mask, 6) * 1e10 + damping
+                    + pose_prior)
         S_mat = S_mat + jnp.diag(diag_pen) + damping * jnp.diag(jnp.diag(S_mat))
-        dxc = -jnp.linalg.solve(S_mat, rhs.reshape(-1)).reshape(Kt, 6)
+        # prior gradient: pull toward the initial poses
+        xi_dev = jax.vmap(se3.se3_log)(
+            poses @ jax.vmap(se3.T_inv)(kf_pose))  # (Kt, 6)
+        rhs_p = rhs + pose_prior * xi_dev
+        dxc = -jnp.linalg.solve(S_mat, rhs_p.reshape(-1)).reshape(Kt, 6)
         dxc = dxc * free[:, None]
         # back-substitute points
         dxp = -jnp.einsum("pij,pj->pi", Hpp_inv,
@@ -157,8 +170,12 @@ def _ba_iterate(kf_pose, kf_fixed_mask, pt_xyz, obs_pt_slot, obs_uv, obs_ur,
 
         # LM accept/reject: keep the step only if the robust cost drops
         _, chi2_new, _, _ = residual_chi2(poses_new, pts_new)
-        cost_new = robust_cost(chi2_new)
-        cost_cur = robust_cost(chi2)
+        def prior_cost(p):
+            dev = jax.vmap(se3.se3_log)(p @ jax.vmap(se3.T_inv)(kf_pose))
+            return pose_prior * jnp.sum(dev * dev)
+
+        cost_new = robust_cost(chi2_new) + prior_cost(poses_new)
+        cost_cur = robust_cost(chi2) + prior_cost(poses)
         finite = (jnp.isfinite(cost_new) & jnp.all(jnp.isfinite(dxc))
                   & jnp.all(jnp.isfinite(dxp)))
         accept = (cost_new < cost_cur) & finite
