@@ -106,14 +106,40 @@ class LoopClosing:
         src_ids = np.flatnonzero(ok)
         pts_kf = unproject(kf, src_ids)          # current KF camera frame
         pts_loop = unproject(loop_kf, idx[src_ids])  # loop KF camera frame
-        T_lc, n_inl, inl = horn_ransac_se3(pts_loop, pts_kf)  # maps kf->loop
-        if n_inl < self.cfg.loop.sim3_min_inliers:
+        # T maps loop-cam coords -> kf-cam coords (dst=pts_kf, src=pts_loop)
+        T_kl, n_inl, inl = horn_ransac_se3(pts_loop, pts_kf)
+        # acceptance mirrors the reference's double gate: Sim3 inliers AND
+        # total matches (`src/LoopClosing.cc` >=20 then >=40)
+        if n_inl < max(self.cfg.loop.sim3_min_inliers,
+                       self.cfg.loop.min_total_matches):
             return False
 
-        # corrected current pose through the loop constraint
+        # refine the loop edge with bidirectional reprojection
+        # (OptimizeSim3 role) — a raw Horn edge is cm-noisy and the pose
+        # graph would inject that noise into a healthy trajectory
+        from planarslam_tpu.solvers.sim3_solver import refine_relative_se3
+
+        cam = self.cfg.camera
+        K = (cam.fx, cam.fy, cam.cx, cam.cy)
+        uv_kf = m.kf_uv[kf][src_ids]
+        uv_loop = m.kf_uv[loop_kf][idx[src_ids]]
+        T_kl, _ = refine_relative_se3(T_kl.astype(np.float32), pts_kf,
+                                      pts_loop, uv_kf, uv_loop,
+                                      inl.astype(np.float32), K)
+
+        # corrected current pose through the loop constraint:
+        # T_kf_w = T_kf_loop @ T_loop_w
         T_loop_w = m.kf_pose[loop_kf]
-        T_c_w_corr = np.linalg.inv(T_lc) @ T_loop_w  # camera(kf)-from-world
-        self._correct(kf, T_c_w_corr.astype(np.float32), loop_kf)
+        T_c_w_corr = (T_kl @ T_loop_w).astype(np.float32)
+
+        # if the loop is already consistent (negligible implied correction),
+        # record it but do not perturb the trajectory
+        dT = T_c_w_corr @ np.linalg.inv(m.kf_pose[kf])
+        dt = np.linalg.norm(dT[:3, 3])
+        dR = np.arccos(np.clip((np.trace(dT[:3, :3]) - 1) / 2, -1, 1))
+        if dt < 0.03 and dR < np.deg2rad(0.5):
+            return True
+        self._correct(kf, T_c_w_corr, loop_kf)
         return True
 
     # ------------------------------------------------------------- correction
