@@ -46,6 +46,7 @@ def main() -> int:
     cfg = load_yaml_config(args.settings) if args.settings else SystemConfig()
     slam = System(config=cfg)
 
+    os.makedirs(args.out_dir, exist_ok=True)
     feature_log = open(os.path.join(args.out_dir, "Feature_plp.txt"), "a")
     track_log = open(os.path.join(args.out_dir, "Track_plp.txt"), "a")
     total_log = open(os.path.join(args.out_dir, "total_plp.txt"), "a")

@@ -26,20 +26,23 @@ def gaussian_kernel_1d(ksize: int, sigma: float) -> np.ndarray:
 
 def blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.ndarray:
     """Separable Gaussian blur with replicate borders (matches the blur the
-    reference applies before rBRIEF sampling, `src/ORBextractor.cc:1034`)."""
-    k = jnp.asarray(gaussian_kernel_1d(ksize, sigma))
+    reference applies before rBRIEF sampling, `src/ORBextractor.cc:1034`).
+
+    Implemented as shift-and-add (pure VPU work): single-channel
+    `conv_general_dilated` maps terribly onto the TPU MXU (~5 ms per call at
+    640x480 vs <0.1 ms for shifted adds, measured on v5e)."""
+    k = gaussian_kernel_1d(ksize, sigma)
     pad = ksize // 2
+    h, w = img.shape
     x = jnp.pad(img, ((pad, pad), (0, 0)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x[None, None, :, :], k[None, None, :, None],
-        window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
-    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x[None, None, :, :], k[None, None, None, :],
-        window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
-    return x
+    acc = jnp.zeros_like(img)
+    for i in range(ksize):
+        acc = acc + float(k[i]) * jax.lax.dynamic_slice_in_dim(x, i, h, 0)
+    x = jnp.pad(acc, ((0, 0), (pad, pad)), mode="edge")
+    acc = jnp.zeros_like(img)
+    for i in range(ksize):
+        acc = acc + float(k[i]) * jax.lax.dynamic_slice_in_dim(x, i, w, 1)
+    return acc
 
 
 def resize_bilinear(img: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
@@ -69,14 +72,27 @@ def build_pyramid(img: jnp.ndarray, n_levels: int,
 
 
 def sobel_gradients(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """3x3 Sobel dx, dy with replicate borders (for line detection / normals)."""
-    kx = jnp.asarray(np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32))
-    ky = kx.T
-    p = jnp.pad(img, 1, mode="edge")[None, None]
-    gx = jax.lax.conv_general_dilated(p, kx[None, None], (1, 1), "VALID",
-                                      dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
-    gy = jax.lax.conv_general_dilated(p, ky[None, None], (1, 1), "VALID",
-                                      dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+    """3x3 Sobel dx, dy with replicate borders (for line detection / normals).
+
+    Separable shift-and-add: Sobel = smooth [1,2,1] in one axis x diff
+    [-1,0,1] in the other (avoids single-channel conv, see `blur`)."""
+    h, w = img.shape
+
+    def axis_filter(x, taps, axis):
+        pad = [(0, 0), (0, 0)]
+        pad[axis] = (1, 1)
+        xp = jnp.pad(x, pad, mode="edge")
+        n = x.shape[axis]
+        acc = jnp.zeros_like(x)
+        for i, t in enumerate(taps):
+            if t != 0.0:
+                acc = acc + t * jax.lax.dynamic_slice_in_dim(xp, i, n, axis)
+        return acc
+
+    smooth_y = axis_filter(img, (1.0, 2.0, 1.0), 0)
+    gx = axis_filter(smooth_y, (-1.0, 0.0, 1.0), 1)
+    smooth_x = axis_filter(img, (1.0, 2.0, 1.0), 1)
+    gy = axis_filter(smooth_x, (-1.0, 0.0, 1.0), 0)
     return gx, gy
 
 

@@ -35,6 +35,7 @@ import numpy as np
 
 from planarslam_tpu.config import CameraConfig, LineConfig
 from planarslam_tpu.ops import image as image_ops
+from planarslam_tpu.ops.eig3 import eigh_sym3x3
 
 
 class LineFeatures(NamedTuple):
@@ -313,7 +314,7 @@ def lift_lines_3d(depth: jnp.ndarray, cam: CameraConfig, cfg: LineConfig,
     cen = (p3 - mean[:, None, :]) * wgt[..., None]
     cov = jnp.einsum("lsi,lsj->lij", cen, (p3 - mean[:, None, :]) * wgt[..., None])
     cov = cov / wsum[..., None] + 1e-12 * jnp.eye(3)
-    evals, evecs = jnp.linalg.eigh(cov)
+    evals, evecs = eigh_sym3x3(cov)
     dir3 = evecs[..., :, 2]  # largest eigenvector = line direction
 
     s_par = jnp.sum((p3 - mean[:, None, :]) * dir3[:, None, :], axis=-1)

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from planarslam_tpu.config import CameraConfig, PlaneConfig
 from planarslam_tpu.geometry import plane as plane_geo
+from planarslam_tpu.ops.eig3 import eigh_sym3x3
 
 
 class PlaneFeatures(NamedTuple):
@@ -98,7 +99,7 @@ def _plane_from_moments(s1, s2, n):
     mean = s1 / n_safe[..., None]
     cov = s2 / n_safe[..., None, None] - mean[..., :, None] * mean[..., None, :]
     cov = cov + 1e-12 * jnp.eye(3)
-    evals, evecs = jnp.linalg.eigh(cov)  # ascending
+    evals, evecs = eigh_sym3x3(cov)  # ascending (closed-form, see ops/eig3)
     normal = evecs[..., :, 0]
     mse = evals[..., 0]
     # orient toward camera (points have z > 0; camera at origin)

@@ -1,0 +1,213 @@
+"""Fused local-mapping device kernel — one XLA program, one host pull per KF.
+
+The reference's LocalMapping thread (`src/LocalMapping.cc:28-99`) does
+per-neighbor projection fuse (`SearchInNeighbors :1039`) and epipolar
+triangulation (`CreateNewMapPoints :309`) in loops over covisible keyframes.
+The round-1 port issued one device call (and one tunnel round-trip) per
+neighbor per stage — ~700 ms per keyframe through the axon tunnel. Here all
+neighbors are stacked on a leading axis and processed by ONE jitted program
+returning ONE packed bundle:
+
+  - fuse search: project the new KF's landmarks into each neighbor and match
+    within a window (`ORBmatcher::Fuse` role, `src/ORBmatcher.cc:829`);
+  - triangulation: brute-force descriptor matching of the new KF's free
+    (depthless) features against each neighbor's free features
+    (`SearchForTriangulation` role, `src/ORBmatcher.cc:661`), DLT
+    triangulation, and two-view reprojection chi2 acceptance.
+
+Host code applies the results to the map tables (branchy, tiny).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from planarslam_tpu.config import SystemConfig
+from planarslam_tpu.ops import matching
+
+N_NEIGHBORS = 5  # covisible neighbors processed per KF (reference uses 5-10)
+
+
+class MappingLayout:
+    """Static layout of the packed mapping bundle."""
+
+    def __init__(self, cfg: SystemConfig):
+        K = cfg.orb.max_keypoints
+        NB = N_NEIGHBORS
+        self.fields = [
+            ("fuse_idx", (NB, K), np.int32),   # own-landmark slot -> nb feat
+            ("tri_idx", (NB, K), np.int32),    # own feat -> nb feat
+            ("tri_x", (NB, K, 3), np.float32),  # triangulated world point
+            ("tri_good", (NB, K), np.int32),   # acceptance mask
+        ]
+        self.sizes = [int(np.prod(s)) for _, s, _ in self.fields]
+        self.total = sum(self.sizes)
+
+    def unpack(self, flat: np.ndarray) -> dict:
+        out = {}
+        off = 0
+        for (name, shape, dtype), size in zip(self.fields, self.sizes):
+            chunk = flat[off:off + size]
+            if dtype == np.int32:
+                chunk = chunk.view(np.int32)
+            out[name] = chunk.reshape(shape).copy()
+            off += size
+        return out
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def mapping_step(
+    # own-KF data
+    own_T: jnp.ndarray,         # (4, 4)
+    own_uv: jnp.ndarray,        # (K, 2)
+    own_desc: jnp.ndarray,      # (K, 8) uint32
+    own_level: jnp.ndarray,     # (K,)
+    own_free: jnp.ndarray,      # (K,) bool: unassociated + depthless
+    lm_xyz: jnp.ndarray,        # (K, 3) own landmarks (world)
+    lm_desc: jnp.ndarray,       # (K, 8)
+    lm_valid: jnp.ndarray,      # (K,) bool
+    # stacked neighbors
+    nb_T: jnp.ndarray,          # (NB, 4, 4)
+    nb_uv: jnp.ndarray,         # (NB, K, 2)
+    nb_desc: jnp.ndarray,       # (NB, K, 8)
+    nb_level: jnp.ndarray,      # (NB, K)
+    nb_valid: jnp.ndarray,      # (NB, K) bool
+    nb_ur: jnp.ndarray,         # (NB, K)
+    nb_free: jnp.ndarray,       # (NB, K) bool
+    nb_ok: jnp.ndarray,         # (NB,) bool neighbor slot is real
+    cfg: SystemConfig,
+) -> jnp.ndarray:
+    cam = cfg.camera
+    K = (cam.fx, cam.fy, cam.cx, cam.cy)
+    Kp = cfg.orb.max_keypoints
+    layout = MappingLayout(cfg)
+    Kmat = jnp.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]],
+                     jnp.float32)
+
+    # ---- fuse: project own landmarks into each neighbor -------------------
+    def fuse_one(T, uv, desc, level, valid, ur, ok):
+        res = matching.search_by_projection(
+            lm_xyz, lm_desc, lm_valid & ok, T, uv, desc, level, valid, ur,
+            K=K, image_wh=(float(cam.width), float(cam.height)), bf=cam.bf,
+            scale_factor=cfg.orb.scale_factor, radius=3.0,
+            max_dist=cfg.matcher.th_low, level_window=1)
+        return res.idx
+
+    fuse_idx = jax.vmap(fuse_one)(nb_T, nb_uv, nb_desc, nb_level, nb_valid,
+                                  nb_ur, nb_ok)
+
+    # ---- triangulation: match free features, DLT, two-view checks ---------
+    s2 = jnp.power(jnp.float32(cfg.orb.scale_factor),
+                   -2.0 * own_level.astype(jnp.float32))
+    P1 = Kmat @ own_T[:3]
+
+    def tri_one(T, uv, desc, level, free, ok):
+        res = matching.match_descriptors(
+            own_desc, desc, own_free & ok, free,
+            max_dist=cfg.matcher.th_low, ratio=0.8)
+        idx = res.idx
+        has = idx >= 0
+        j = jnp.clip(idx, 0, Kp - 1)
+        uv2 = uv[j]
+        P2 = Kmat @ T[:3]
+
+        def one(u1, u2):
+            A = jnp.stack([
+                u1[0] * P1[2] - P1[0],
+                u1[1] * P1[2] - P1[1],
+                u2[0] * P2[2] - P2[0],
+                u2[1] * P2[2] - P2[1],
+            ])
+            # nullspace via the smallest right singular vector of A (4x4):
+            # smallest eigenvector of A^T A, closed form (ops/eig3 is 3x3;
+            # here use two Jacobi-free steps: solve (A^T A) v = min-eig v by
+            # inverse iteration is overkill — plain SVD on 4x4 batches is
+            # acceptable at (NB*K) size)
+            _, _, Vt = jnp.linalg.svd(A)
+            Xh = Vt[-1]
+            w = Xh[3]
+            return Xh[:3] / jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+
+        X = jax.vmap(one)(own_uv, uv2)
+        finite = jnp.all(jnp.isfinite(X), axis=-1)
+
+        def proj_gate(Tc, uvp, inv_s2):
+            pc = X @ Tc[:3, :3].T + Tc[:3, 3]
+            z = pc[:, 2]
+            u = cam.fx * pc[:, 0] / jnp.maximum(z, 1e-9) + cam.cx
+            v = cam.fy * pc[:, 1] / jnp.maximum(z, 1e-9) + cam.cy
+            err = ((u - uvp[:, 0]) ** 2 + (v - uvp[:, 1]) ** 2) * inv_s2
+            return (z > 0.05) & (err < 5.991)
+
+        s2b = jnp.power(jnp.float32(cfg.orb.scale_factor),
+                        -2.0 * level[j].astype(jnp.float32))
+        good = (has & finite & proj_gate(own_T, own_uv, s2)
+                & proj_gate(T, uv2, s2b))
+        return idx, X, good
+
+    tri_idx, tri_x, tri_good = jax.vmap(tri_one)(
+        nb_T, nb_uv, nb_desc, nb_level, nb_free, nb_ok)
+
+    parts = [
+        jax.lax.bitcast_convert_type(fuse_idx.astype(jnp.int32),
+                                     jnp.float32).reshape(-1),
+        jax.lax.bitcast_convert_type(tri_idx.astype(jnp.int32),
+                                     jnp.float32).reshape(-1),
+        tri_x.astype(jnp.float32).reshape(-1),
+        jax.lax.bitcast_convert_type(tri_good.astype(jnp.int32),
+                                     jnp.float32).reshape(-1),
+    ]
+    del layout
+    return jnp.concatenate(parts)
+
+
+def run_mapping_step(slam_map, kf: int, cfg: SystemConfig) -> dict:
+    """Gather inputs from the host map, run the fused kernel, unpack."""
+    m = slam_map
+    Kp = cfg.orb.max_keypoints
+    layout = MappingLayout(cfg)
+
+    own_row = m.kf_pt_idx[kf]
+    lm_ids = np.clip(own_row, 0, None)
+    lm_valid = (own_row >= 0) & m.pt_valid[lm_ids]
+    own_free = (own_row < 0) & m.kf_feat_valid[kf] & (m.kf_depth[kf] <= 0)
+
+    nbs = [int(n) for n in m.covisible_kfs(kf)[:N_NEIGHBORS]]
+    NB = N_NEIGHBORS
+    nb_ids = (nbs + [0] * NB)[:NB]
+    nb_ok = np.zeros(NB, bool)
+    nb_ok[:len(nbs)] = True
+    # baseline gate for triangulation (reference skips close neighbors)
+    c1 = -m.kf_pose[kf][:3, :3].T @ m.kf_pose[kf][:3, 3]
+    tri_ok = nb_ok.copy()
+    for i, nb in enumerate(nb_ids):
+        c2 = -m.kf_pose[nb][:3, :3].T @ m.kf_pose[nb][:3, 3]
+        if np.linalg.norm(c1 - c2) < 0.02:
+            tri_ok[i] = False
+    nb_ids_arr = np.asarray(nb_ids)
+    nb_free = ((m.kf_pt_idx[nb_ids_arr] < 0)
+               & m.kf_feat_valid[nb_ids_arr]) & tri_ok[:, None]
+
+    packed = mapping_step(
+        jnp.asarray(m.kf_pose[kf]), jnp.asarray(m.kf_uv[kf]),
+        jnp.asarray(m.kf_desc[kf]), jnp.asarray(m.kf_level[kf]),
+        jnp.asarray(own_free), jnp.asarray(m.pt_xyz[lm_ids]),
+        jnp.asarray(m.pt_desc[lm_ids]), jnp.asarray(lm_valid),
+        jnp.asarray(m.kf_pose[nb_ids_arr]), jnp.asarray(m.kf_uv[nb_ids_arr]),
+        jnp.asarray(m.kf_desc[nb_ids_arr]),
+        jnp.asarray(m.kf_level[nb_ids_arr]),
+        jnp.asarray(m.kf_feat_valid[nb_ids_arr]),
+        jnp.asarray(m.kf_ur[nb_ids_arr]), jnp.asarray(nb_free),
+        jnp.asarray(nb_ok), cfg)
+    out = layout.unpack(np.asarray(packed))  # ONE sync
+    out["nb_ids"] = nb_ids_arr
+    out["nb_ok"] = nb_ok
+    out["tri_ok"] = tri_ok
+    out["own_free"] = own_free
+    out["lm_valid"] = lm_valid
+    return out

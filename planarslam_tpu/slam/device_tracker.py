@@ -45,14 +45,22 @@ from planarslam_tpu.solvers import pose_opt
 
 WIN_PTS = 4096   # local-map point window capacity
 WIN_LNS = 256    # local-map line window capacity
+ASSOC_CLOUD = 512  # per-plane cloud subsample for on-device association
 
 
 class LastState(NamedTuple):
-    """Device-resident previous-frame state (never pulled)."""
+    """Device-resident previous-frame state (never pulled).
+
+    The pose and motion model live ON DEVICE so consecutive fused steps
+    chain without any host sync: the host only reads the packed bundle one
+    frame late (pipelined tracking; the reference's Tracking thread plays
+    the same role at `src/Tracking.cc:206` but synchronously)."""
 
     feats: FrameFeatures
     pt3d_w: jnp.ndarray   # (K, 3) world positions of features with depth
     valid3d: jnp.ndarray  # (K,) bool
+    T_cw: jnp.ndarray     # (4, 4) this frame's optimized pose
+    velocity: jnp.ndarray  # (4, 4) motion model T_cw_k @ inv(T_cw_{k-1})
 
 
 class DeviceWindow(NamedTuple):
@@ -133,13 +141,15 @@ def _pack(layout: BundleLayout, **arrays) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def make_last_state(gray, depth, T_cw, cfg: SystemConfig) -> LastState:
+def make_last_state(gray, depth, T_cw, velocity, cfg: SystemConfig
+                    ) -> LastState:
     """Initial device state from the first frame (after init)."""
     feats = extract_frame(gray, depth, cfg)
-    return _state_from(feats, T_cw, cfg)
+    return _state_from(feats, T_cw, velocity, cfg)
 
 
-def _state_from(feats: FrameFeatures, T_cw, cfg: SystemConfig) -> LastState:
+def _state_from(feats: FrameFeatures, T_cw, velocity,
+                cfg: SystemConfig) -> LastState:
     cam = cfg.camera
     z = feats.points.depth
     has = (z > 0) & feats.points.valid
@@ -149,7 +159,7 @@ def _state_from(feats: FrameFeatures, T_cw, cfg: SystemConfig) -> LastState:
     T_wc = se3.T_inv(T_cw)
     pw = se3.transform_points(T_wc, pc)
     return LastState(feats=feats, pt3d_w=jnp.where(has[:, None], pw, 0.0),
-                     valid3d=has)
+                     valid3d=has, T_cw=T_cw, velocity=velocity)
 
 
 def _associate_planes_device(feats: FrameFeatures, T_cw, win: DeviceWindow,
@@ -192,8 +202,8 @@ def _associate_planes_device(feats: FrameFeatures, T_cw, win: DeviceWindow,
 def fused_track_step(
     gray: jnp.ndarray,
     depth: jnp.ndarray,
-    T_last: jnp.ndarray,        # (4, 4) previous optimized pose
-    velocity: jnp.ndarray,      # (4, 4) motion model
+    T_override: jnp.ndarray,    # (4, 4) host pose override (loop correction)
+    use_override: jnp.ndarray,  # () bool
     R_wm: jnp.ndarray,          # (3, 3) world-from-Manhattan (identity if off)
     manh_enabled: jnp.ndarray,  # () bool
     last: LastState,
@@ -205,6 +215,13 @@ def fused_track_step(
     K = (cam.fx, cam.fy, cam.cx, cam.cy)
     Kp = cfg.orb.max_keypoints
     layout = BundleLayout(cfg)
+
+    # pose + motion model live on device; the host can override the pose
+    # after a loop/GBA correction (reference re-bases Tracking the same way
+    # in CorrectLoop, `src/LoopClosing.cc:402`)
+    T_last = jnp.where(use_override, T_override, last.T_cw)
+    velocity = jnp.where(use_override, jnp.eye(4, dtype=jnp.float32),
+                         last.velocity)
 
     feats = extract_frame(gray, depth, cfg)
     T_pred = velocity @ T_last
@@ -350,10 +367,13 @@ def fused_track_step(
                    & (uv_win[:, 1] >= 0) & (uv_win[:, 1] < cam.height)
                    ).astype(jnp.int32)
 
-    # keyframe-policy statistics (close-point rule `Tracking.cc:2150-2199`)
+    # keyframe-policy statistics (close-point rule `Tracking.cc:2150-2199`).
+    # "tracked" counts ALL inlier landmark associations (window + temporal),
+    # matching the reference's mnMatchesInliers — window-only counting makes
+    # the "weak tracking" rule fire on nearly every frame.
     close = (feats.points.depth > 0) & (feats.points.depth
                                         < cam.depth_threshold)
-    tracked = feat_slot_out >= 0
+    tracked = obs2_valid & inl
     kf_stats = jnp.stack([
         jnp.sum((close & tracked).astype(jnp.float32)),
         jnp.sum((close & ~tracked & feats.points.valid).astype(jnp.float32)),
@@ -375,8 +395,9 @@ def fused_track_step(
         pl_ver=pl_ver, pl_coeffs_w=pi_w,
         pl_valid=feats.planes.valid.astype(jnp.int32), kf_stats=kf_stats)
 
+    new_vel = T_out @ se3.T_inv(T_last)
     return StepResult(packed=packed,
-                      new_state=_state_from(feats, T_out, cfg))
+                      new_state=_state_from(feats, T_out, new_vel, cfg))
 
 
 def build_window(slam_map, kf_ids: np.ndarray, cfg: SystemConfig
@@ -408,8 +429,24 @@ def build_window(slam_map, kf_ids: np.ndarray, cfg: SystemConfig
         ln_desc=jnp.asarray(m.ln_desc[il]),
         ln_valid=jnp.asarray(ln_pad >= 0),
         pl_coeffs=jnp.asarray(m.pl_coeffs),
-        pl_cloud=jnp.asarray(m.pl_cloud),
-        pl_cloud_n=jnp.asarray(m.pl_cloud_n),
+        pl_cloud=jnp.asarray(_subsample_clouds(m)),
+        pl_cloud_n=jnp.asarray(np.minimum(m.pl_cloud_n, ASSOC_CLOUD)),
         pl_valid=jnp.asarray(m.pl_valid),
     )
     return win, pt_pad, ln_pad
+
+
+def _subsample_clouds(m) -> np.ndarray:
+    """Strided subsample of each plane's cloud to ASSOC_CLOUD points.
+
+    The min point-to-plane distance of the PlaneMatcher gate
+    (`src/PlaneMatcher.cpp:10-81`) is insensitive to cloud density; the full
+    (Mp, 4096, 3) cloud costs ~8 ms per fused step in the association
+    broadcast, the subsample well under 1 ms."""
+    full = m.pl_cloud  # (Mp, C, 3)
+    mp, c, _ = full.shape
+    if c <= ASSOC_CLOUD:
+        return full
+    n = np.maximum(m.pl_cloud_n.astype(np.int64), 1)  # (Mp,)
+    idx = (np.arange(ASSOC_CLOUD)[None, :] * n[:, None]) // ASSOC_CLOUD
+    return np.take_along_axis(full, idx[:, :, None], axis=1)

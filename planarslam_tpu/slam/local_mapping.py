@@ -50,8 +50,15 @@ class LocalMapping:
         self._cull_points(kf)
         self._cull_lines(kf)
         self._cull_planes(kf)
-        self._create_points_by_triangulation(kf)
-        self._fuse_neighbors(kf)
+        # triangulation + fuse run as ONE fused device program with one pull
+        # (device_mapper.mapping_step) — the per-neighbor loop of round 1
+        # cost a tunnel round-trip per call
+        if len(m.covisible_kfs(kf)) > 0:
+            from planarslam_tpu.slam.device_mapper import run_mapping_step
+
+            res = run_mapping_step(m, kf, self.cfg)
+            self._apply_triangulation(kf, res)
+            self._apply_fuse(kf, res)
         self._cull_keyframes(kf)
         if self.enable_local_ba and m.n_kf >= 3:
             from planarslam_tpu.solvers.local_ba import local_bundle_adjustment
@@ -59,143 +66,73 @@ class LocalMapping:
             local_bundle_adjustment(m, kf, self.cfg)
 
     # ----------------------------------------------------- point creation
-    def _create_points_by_triangulation(self, kf: int) -> None:
-        """Reference `CreateNewMapPoints` (`src/LocalMapping.cc:309`):
-        descriptor-match still-unassociated features of the new KF against
-        covisible KFs and triangulate. In the RGB-D pipeline depth-based
-        creation at KF insertion covers close points; triangulation adds
-        far points (depth <= 0)."""
-        import jax.numpy as jnp
-
-        from planarslam_tpu.ops import matching
-        from planarslam_tpu.solvers.triangulation import (
-            reprojection_checks, triangulate)
-
+    def _apply_triangulation(self, kf: int, res: dict) -> None:
+        """Apply the fused kernel's triangulations: create far map points
+        observed by the new KF and one neighbor (reference
+        `CreateNewMapPoints` `src/LocalMapping.cc:309`; RGB-D close points
+        come from depth at KF insertion, triangulation adds depthless)."""
         m = self.map
         cfg = self.cfg
-        cam = cfg.camera
-        K = (cam.fx, cam.fy, cam.cx, cam.cy)
-        Kmat = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]],
-                        np.float32)
-        free = (m.kf_pt_idx[kf] < 0) & m.kf_feat_valid[kf] \
-            & (m.kf_depth[kf] <= 0)
-        if free.sum() < 10:
-            return
-        s2 = (1.0 / cfg.orb.scale_factor ** (
-            2 * np.arange(cfg.orb.n_levels))).astype(np.float32)
         T1 = m.kf_pose[kf]
-        baseline_min = 0.02
-        for nb in m.covisible_kfs(kf)[:5]:
+        c1 = -T1[:3, :3].T @ T1[:3, 3]
+        free = res["own_free"].copy()
+        for i, nb in enumerate(res["nb_ids"]):
+            if not res["tri_ok"][i]:
+                continue
             nb = int(nb)
-            T2 = m.kf_pose[nb]
-            # enough parallax between the two cameras?
-            c1 = -T1[:3, :3].T @ T1[:3, 3]
-            c2 = -T2[:3, :3].T @ T2[:3, 3]
-            if np.linalg.norm(c1 - c2) < baseline_min:
-                continue
-            free_nb = (m.kf_pt_idx[nb] < 0) & m.kf_feat_valid[nb]
-            res = matching.match_descriptors(
-                jnp.asarray(m.kf_desc[kf]), jnp.asarray(m.kf_desc[nb]),
-                jnp.asarray(free), jnp.asarray(free_nb),
-                max_dist=cfg.matcher.th_low, ratio=0.8)
-            idx = np.asarray(res.idx)
-            ok = idx >= 0
-            if ok.sum() < 5:
-                continue
-            f1 = np.flatnonzero(ok)
-            f2 = idx[f1]
-            # static-shape padding -> one compilation of the triangulator
-            CAP = 256
-            f1 = f1[:CAP]
-            f2 = f2[:CAP]
-            n_c = len(f1)
-            uv1 = np.zeros((CAP, 2), np.float32)
-            uv2 = np.zeros((CAP, 2), np.float32)
-            is2a = np.ones(CAP, np.float32)
-            is2b = np.ones(CAP, np.float32)
-            uv1[:n_c] = m.kf_uv[kf][f1]
-            uv2[:n_c] = m.kf_uv[nb][f2]
-            is2a[:n_c] = s2[m.kf_level[kf][f1]]
-            is2b[:n_c] = s2[m.kf_level[nb][f2]]
-            P1 = Kmat @ T1[:3]
-            P2 = Kmat @ T2[:3]
-            X, fin = triangulate(jnp.asarray(P1), jnp.asarray(P2),
-                                 jnp.asarray(uv1), jnp.asarray(uv2))
-            good = reprojection_checks(
-                X, jnp.asarray(T1), jnp.asarray(T2),
-                jnp.asarray(uv1), jnp.asarray(uv2),
-                K, jnp.asarray(is2a), jnp.asarray(is2b))
-            good = np.asarray(good & fin)
-            good[n_c:] = False
-            sel = np.flatnonzero(good)
+            sel = np.flatnonzero(res["tri_good"][i] > 0)
+            sel = sel[free[sel]]  # an earlier neighbor may have claimed them
+            f2 = res["tri_idx"][i][sel]
+            still_free = m.kf_pt_idx[nb, f2] < 0
+            sel, f2 = sel[still_free], f2[still_free]
             if len(sel) == 0:
                 continue
-            X = np.asarray(X)[sel]
+            X = res["tri_x"][i][sel]
             try:
                 ids = m.alloc_points(len(sel))
             except RuntimeError:
                 return
             m.pt_xyz[ids] = X
-            m.pt_desc[ids] = m.kf_desc[kf][f1[sel]]
-            cam_c = c1
-            vec = X - cam_c
+            m.pt_desc[ids] = m.kf_desc[kf][sel]
+            vec = X - c1
             dist = np.linalg.norm(vec, axis=1)
             m.pt_normal[ids] = vec / np.maximum(dist[:, None], 1e-9)
-            lvl = m.kf_level[kf][f1[sel]]
+            lvl = m.kf_level[kf][sel]
             sf = cfg.orb.scale_factor
             m.pt_max_dist[ids] = dist * (sf ** lvl) * 1.2
-            m.pt_min_dist[ids] = m.pt_max_dist[ids] / (sf ** cfg.orb.n_levels) * 0.8
+            m.pt_min_dist[ids] = m.pt_max_dist[ids] / \
+                (sf ** cfg.orb.n_levels) * 0.8
             m.pt_valid[ids] = True
             m.pt_nobs[ids] = 2
             m.pt_found[ids] = 1
             m.pt_visible[ids] = 1
             m.pt_first_kf[ids] = kf
-            m.kf_pt_idx[kf, f1[sel]] = ids
-            m.kf_pt_idx[nb, f2[sel]] = ids
-            free[f1[sel]] = False
+            m.kf_pt_idx[kf, sel] = ids
+            m.kf_pt_idx[nb, f2] = ids
+            free[sel] = False
             for p in ids:
                 self._recent_pts[int(p)] = kf
 
     # ---------------------------------------------------------------- fuse
-    def _fuse_neighbors(self, kf: int) -> None:
-        """Reference `SearchInNeighbors` (`src/LocalMapping.cc:1039`):
-        project the new KF's landmarks into covisible KFs; merge duplicate
-        landmarks (keep the better-observed one) and add missed
-        associations."""
-        import jax.numpy as jnp
-
-        from planarslam_tpu.ops import matching
-
+    def _apply_fuse(self, kf: int, res: dict) -> None:
+        """Apply the fused kernel's projection matches: merge duplicate
+        landmarks / add missed associations in covisible neighbors
+        (reference `SearchInNeighbors` `src/LocalMapping.cc:1039`)."""
         m = self.map
-        cfg = self.cfg
-        cam = cfg.camera
         own = m.kf_pt_idx[kf]
-        own_ids = np.unique(own[own >= 0])
-        own_ids = own_ids[m.pt_valid[own_ids]]
-        if len(own_ids) == 0:
-            return
-        cap = cfg.orb.max_keypoints
-        pad = np.zeros(cap, np.int64)
-        n_own = min(len(own_ids), cap)
-        pad[:n_own] = own_ids[:n_own]
-        valid_own = np.zeros(cap, bool)
-        valid_own[:n_own] = True
-        for nb in m.covisible_kfs(kf)[:5]:
+        for i, nb in enumerate(res["nb_ids"]):
+            if not res["nb_ok"][i]:
+                continue
             nb = int(nb)
-            res = matching.search_by_projection(
-                jnp.asarray(m.pt_xyz[pad]), jnp.asarray(m.pt_desc[pad]),
-                jnp.asarray(valid_own), jnp.asarray(m.kf_pose[nb]),
-                jnp.asarray(m.kf_uv[nb]), jnp.asarray(m.kf_desc[nb]),
-                jnp.asarray(m.kf_level[nb]),
-                jnp.asarray(m.kf_feat_valid[nb]), jnp.asarray(m.kf_ur[nb]),
-                K=(cam.fx, cam.fy, cam.cx, cam.cy),
-                image_wh=(float(cam.width), float(cam.height)), bf=cam.bf,
-                scale_factor=cfg.orb.scale_factor, radius=3.0,
-                max_dist=cfg.matcher.th_low, level_window=1)
-            idx = np.asarray(res.idx)
-            for i in np.flatnonzero(idx >= 0):
-                p = int(pad[i])
-                f = int(idx[i])
+            idx = res["fuse_idx"][i]
+            for s in np.flatnonzero(idx >= 0):
+                p = int(own[s])
+                # re-check every iteration: replace_point in an earlier
+                # iteration may have invalidated p (slot recycling would
+                # silently rebind the association — fatal for BA)
+                if p < 0 or not m.pt_valid[p]:
+                    continue
+                f = int(idx[s])
                 q = int(m.kf_pt_idx[nb, f])
                 if q == p:
                     continue

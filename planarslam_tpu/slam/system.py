@@ -66,7 +66,13 @@ class System:
                 if self.local_mapper is not None:
                     self.local_mapper.process_keyframe(kf)
                 if self.loop_closer is not None:
-                    self.loop_closer.process_keyframe(kf)
+                    T_old = self.map.kf_pose[kf].copy()
+                    loop = self.loop_closer.process_keyframe(kf)
+                    if loop is not None:
+                        # re-base the (pipelined) tracker onto the corrected
+                        # map (reference CorrectLoop re-bases Tracking)
+                        self.tracker.apply_map_correction(
+                            T_old, self.map.kf_pose[kf].copy())
         self.timings.append(time.perf_counter() - t0)
         self._timestamps.append(timestamp)
         return pose
@@ -98,8 +104,9 @@ class System:
         self._timestamps.clear()
 
     def shutdown(self):
-        """No threads to join (single-controller); kept for API parity with
-        `System::Shutdown` (`src/System.cc:170`)."""
+        """Drain the tracking pipeline (the reference joins its threads here,
+        `src/System.cc:170`)."""
+        self.tracker.flush_pending()
 
     def get_tracking_state(self) -> TrackingState:
         return self.tracker.state
@@ -113,6 +120,7 @@ class System:
         (reference `SaveTrajectoryTUM` semantics, `src/System.cc:192-251`:
         relative pose times the *current* KF estimate, so BA/loop corrections
         propagate to all frames)."""
+        self.tracker.flush_pending()
         out = []
         for rec in self.tracker.records:
             T_rw = self.map.kf_pose[rec.ref_kf]

@@ -112,6 +112,12 @@ class Tracking:
         self._win_ln_ids = None
         self._window_dirty = True
         self._host_last_map_pt = np.full(cfg.orb.max_keypoints, -1, np.int32)
+        # pipelined fused tracking: the bundle of frame k is pulled while the
+        # device computes frame k+1 (the pull is an async D2H started at
+        # dispatch), so the tunnel RTT never serializes the loop
+        self._pending = None          # in-flight {packed, state, meta}
+        self._pose_override = None    # host->device pose re-base (loop corr.)
+        self._bundle_correction = None  # right-multiplier for in-flight poses
         self._search_frame = partial(
             jax.jit(matching.search_by_projection,
                     static_argnames=("K", "image_wh", "bf", "scale_factor",
@@ -184,26 +190,60 @@ class Tracking:
             return self.T_cw.copy()
 
         if self.state == TrackingState.LOST or self._fused_state is None:
+            self.flush_pending()
             feats = extract_frame(jnp.asarray(gray, dtype=jnp.float32),
                                   jnp.asarray(depth, dtype=jnp.float32),
                                   self.cfg)
             ok = self._track_frame(feats, timestamp)
             if ok:
                 self._rebuild_fused_state(gray, depth)
-        else:
-            ok = self._track_frame_fused(gray, depth, timestamp)
+            self.last_track_time = _time.perf_counter() - t1
+            if not ok:
+                self.stats["lost"] += 1
+                self.state = TrackingState.LOST
+            self._append_record(timestamp,
+                                lost=self.state == TrackingState.LOST)
+            return self.T_cw.copy()
+
+        ok = self._track_frame_fused(gray, depth, timestamp)
         self.last_track_time = _time.perf_counter() - t1
         if not ok:
             self.stats["lost"] += 1
             self.state = TrackingState.LOST
+        # pose returned is the freshest processed estimate (one frame of
+        # pipeline latency, like the reference's async mapping threads)
+        return self.T_cw.copy()
 
-        # trajectory bookkeeping relative to the reference KF
+    def _append_record(self, timestamp: float, lost: bool) -> None:
+        """Trajectory bookkeeping relative to the reference KF."""
         T_rw = self.map.kf_pose[self.ref_kf]
         T_cr = self.T_cw @ np.linalg.inv(T_rw)
         self.records.append(FrameRecord(timestamp, T_cr.astype(np.float32),
-                                        self.ref_kf,
-                                        self.state == TrackingState.LOST))
-        return self.T_cw.copy()
+                                        self.ref_kf, lost))
+
+    def flush_pending(self) -> None:
+        """Drain the in-flight fused frame (end of sequence / mode switch)."""
+        if self._pending is None:
+            return
+        prev, self._pending = self._pending, None
+        ok = self._process_bundle(prev)
+        if not ok:
+            self.stats["lost"] += 1
+            self.state = TrackingState.LOST
+            self._fused_state = None
+
+    def apply_map_correction(self, T_kf_old: np.ndarray,
+                             T_kf_new: np.ndarray) -> None:
+        """Re-base tracking after a loop/GBA map correction: the current
+        camera keeps its pose relative to the corrected keyframe (reference
+        CorrectLoop re-bases Tracking, `src/LoopClosing.cc:402-443`)."""
+        corr = (np.linalg.inv(T_kf_old) @ T_kf_new).astype(np.float32)
+        self.T_cw = (self.T_cw @ corr).astype(np.float32)
+        if self._pending is not None:
+            # the in-flight frame was computed pre-correction
+            self._bundle_correction = corr
+        self._pose_override = self.T_cw.copy()
+        self._window_dirty = True
 
     # ------------------------------------------------------ initialization
     def _stereo_initialization(self, feats: FrameFeatures, timestamp: float
@@ -359,8 +399,11 @@ class Tracking:
         self._fused_state = make_last_state(
             jnp.asarray(gray, dtype=jnp.float32),
             jnp.asarray(depth, dtype=jnp.float32),
-            jnp.asarray(self.T_cw), self.cfg)
+            jnp.asarray(self.T_cw), jnp.asarray(self.velocity), self.cfg)
         self._window_dirty = True
+        self._pending = None
+        self._pose_override = None
+        self._bundle_correction = None
 
     def _refresh_window(self) -> None:
         from planarslam_tpu.slam.device_tracker import build_window
@@ -377,27 +420,54 @@ class Tracking:
         self._window_dirty = False
 
     def _track_frame_fused(self, gray, depth, timestamp: float) -> bool:
-        """One device program + one packed pull per frame (see
+        """Pipelined device step: dispatch frame k, then process frame k-1's
+        bundle whose async D2H copy has already landed (see
         device_tracker.fused_track_step)."""
         from planarslam_tpu.slam.device_tracker import fused_track_step
 
         cfg = self.cfg
-        m = self.map
         if self._window_dirty or self._window is None:
             self._refresh_window()
         manh_enabled = self.R_wm is not None
         R_wm = self.R_wm if manh_enabled else np.eye(3, dtype=np.float32)
+        use_ovr = self._pose_override is not None
+        T_ovr = self._pose_override if use_ovr \
+            else np.eye(4, dtype=np.float32)
+        self._pose_override = None
 
-        T_before = self.T_cw.copy()
         result = fused_track_step(
             jnp.asarray(gray, dtype=jnp.float32),
             jnp.asarray(depth, dtype=jnp.float32),
-            jnp.asarray(self.T_cw), jnp.asarray(self.velocity),
+            jnp.asarray(T_ovr.astype(np.float32)), jnp.asarray(use_ovr),
             jnp.asarray(R_wm.astype(np.float32)),
             jnp.asarray(manh_enabled), self._fused_state, self._window,
             self._pose_weights, cfg)
-        bundle = self._layout.unpack(np.asarray(result.packed))  # ONE sync
+        try:
+            result.packed.copy_to_host_async()
+        except Exception:
+            pass  # platform without async D2H: np.asarray will sync later
+        prev, self._pending = self._pending, {
+            "packed": result.packed, "state": result.new_state,
+            "timestamp": timestamp, "frame_id": self.frame_id,
+            "depth": self._last_depth}
         self._fused_state = result.new_state
+        if prev is None:
+            return True
+        ok = self._process_bundle(prev)
+        if not ok:
+            # pipeline collapse: drop the in-flight frame, record it as lost
+            # at the last known pose; the reloc path takes over next frame
+            self._pending = None
+            self._fused_state = None
+            self._append_record(timestamp, lost=True)
+        return ok
+
+    def _process_bundle(self, prev: dict) -> bool:
+        """Apply the (lagged) fused-step results to the host map/state."""
+        cfg = self.cfg
+        m = self.map
+        bundle = self._layout.unpack(np.asarray(prev["packed"]))
+        self._last_depth = prev["depth"]
 
         flags = bundle["flags"]
         if flags[0] > 0:
@@ -410,9 +480,16 @@ class Tracking:
         n_in2 = int(flags[3])
         self.n_inliers = n_in2
         if n_in2 < cfg.tracking.min_matches_local_map // 2:
+            self._append_record(prev["timestamp"], lost=True)
             return False
 
-        self.T_cw = bundle["T_out"].astype(np.float32)
+        T_before = self.T_cw.copy()
+        T_out = bundle["T_out"].astype(np.float32)
+        if self._bundle_correction is not None:
+            # this frame was computed before a loop/GBA correction landed
+            T_out = (T_out @ self._bundle_correction).astype(np.float32)
+            self._bundle_correction = None
+        self.T_cw = T_out
         self.velocity = (self.T_cw @ np.linalg.inv(T_before)).astype(
             np.float32)
 
@@ -462,28 +539,31 @@ class Tracking:
                 self.ref_kf = best
 
         # keyframe policy from device-computed statistics
-        if self._need_new_keyframe_fused(bundle["kf_stats"], cur_map_pt):
-            feats_np = jax.device_get(self._fused_state.feats)
-            kf = self._create_keyframe(feats_np, timestamp, cur_map_pt,
-                                       cur_map_ln, plane_matches)
+        if self._need_new_keyframe_fused(bundle["kf_stats"], cur_map_pt,
+                                         prev["frame_id"]):
+            feats_np = jax.device_get(prev["state"].feats)
+            kf = self._create_keyframe(feats_np, prev["timestamp"],
+                                       cur_map_pt, cur_map_ln, plane_matches)
             self.ref_kf = kf
-            self.last_kf_frame_id = self.frame_id
+            self.last_kf_frame_id = prev["frame_id"]
             self.stats["kfs"] += 1
             self._window_dirty = True
             # carry the newly created landmark ids into the next frame
             self._host_last_map_pt = self.map.kf_pt_idx[kf].copy()
 
         self.state = TrackingState.OK
+        self._append_record(prev["timestamp"], lost=False)
         return True
 
     def _need_new_keyframe_fused(self, kf_stats: np.ndarray,
-                                 cur_map_pt: np.ndarray) -> bool:
+                                 cur_map_pt: np.ndarray,
+                                 frame_id: int) -> bool:
         cfg = self.cfg
         if self.only_tracking:
             return False
         if self.map.n_kf >= self.map.n_kf_slots - 1:
             return False
-        frames_since = self.frame_id - self.last_kf_frame_id
+        frames_since = frame_id - self.last_kf_frame_id
         if frames_since >= cfg.tracking.max_frames_between_kf:
             return True
         if self.new_plane_flag:
