@@ -112,10 +112,13 @@ class Tracking:
         self._win_ln_ids = None
         self._window_dirty = True
         self._host_last_map_pt = np.full(cfg.orb.max_keypoints, -1, np.int32)
-        # pipelined fused tracking: the bundle of frame k is pulled while the
-        # device computes frame k+1 (the pull is an async D2H started at
-        # dispatch), so the tunnel RTT never serializes the loop
-        self._pending = None          # in-flight {packed, state, meta}
+        # pipelined fused tracking: the bundle of frame k is processed at
+        # frame k+DEPTH, by which time both its device compute AND its async
+        # D2H copy have finished — neither the compute wait nor the tunnel
+        # RTT serializes the loop (the reference gets the same effect from
+        # its Tracking/LocalMapping thread split, `src/System.cc:72-86`)
+        self.pipeline_depth = 2
+        self._pending: list = []      # in-flight [{packed, state, meta}]
         self._pose_override = None    # host->device pose re-base (loop corr.)
         self._bundle_correction = None  # right-multiplier for in-flight poses
         self._search_frame = partial(
@@ -222,15 +225,17 @@ class Tracking:
                                         self.ref_kf, lost))
 
     def flush_pending(self) -> None:
-        """Drain the in-flight fused frame (end of sequence / mode switch)."""
-        if self._pending is None:
-            return
-        prev, self._pending = self._pending, None
-        ok = self._process_bundle(prev)
-        if not ok:
-            self.stats["lost"] += 1
-            self.state = TrackingState.LOST
-            self._fused_state = None
+        """Drain in-flight fused frames (end of sequence / mode switch)."""
+        while self._pending:
+            prev = self._pending.pop(0)
+            ok = self._process_bundle(prev)
+            if not ok:
+                self.stats["lost"] += 1
+                self.state = TrackingState.LOST
+                self._fused_state = None
+                for dropped in self._pending:
+                    self._append_record(dropped["timestamp"], lost=True)
+                self._pending.clear()
 
     def apply_map_correction(self, T_kf_old: np.ndarray,
                              T_kf_new: np.ndarray) -> None:
@@ -239,9 +244,9 @@ class Tracking:
         CorrectLoop re-bases Tracking, `src/LoopClosing.cc:402-443`)."""
         corr = (np.linalg.inv(T_kf_old) @ T_kf_new).astype(np.float32)
         self.T_cw = (self.T_cw @ corr).astype(np.float32)
-        if self._pending is not None:
-            # the in-flight frame was computed pre-correction
-            self._bundle_correction = corr
+        if self._pending:
+            # in-flight frames were computed pre-correction
+            self._bundle_correction = (corr, len(self._pending))
         self._pose_override = self.T_cw.copy()
         self._window_dirty = True
 
@@ -401,7 +406,7 @@ class Tracking:
             jnp.asarray(depth, dtype=jnp.float32),
             jnp.asarray(self.T_cw), jnp.asarray(self.velocity), self.cfg)
         self._window_dirty = True
-        self._pending = None
+        self._pending = []
         self._pose_override = None
         self._bundle_correction = None
 
@@ -446,21 +451,22 @@ class Tracking:
             result.packed.copy_to_host_async()
         except Exception:
             pass  # platform without async D2H: np.asarray will sync later
-        prev, self._pending = self._pending, {
+        self._pending.append({
             "packed": result.packed, "state": result.new_state,
             "timestamp": timestamp, "frame_id": self.frame_id,
-            "depth": self._last_depth}
+            "depth": self._last_depth})
         self._fused_state = result.new_state
-        if prev is None:
-            return True
-        ok = self._process_bundle(prev)
-        if not ok:
-            # pipeline collapse: drop the in-flight frame, record it as lost
-            # at the last known pose; the reloc path takes over next frame
-            self._pending = None
-            self._fused_state = None
-            self._append_record(timestamp, lost=True)
-        return ok
+        while len(self._pending) > self.pipeline_depth:
+            prev = self._pending.pop(0)
+            if not self._process_bundle(prev):
+                # pipeline collapse: drop in-flight frames, record them as
+                # lost at the last known pose; reloc takes over next frame
+                for dropped in self._pending:
+                    self._append_record(dropped["timestamp"], lost=True)
+                self._pending.clear()
+                self._fused_state = None
+                return False
+        return True
 
     def _process_bundle(self, prev: dict) -> bool:
         """Apply the (lagged) fused-step results to the host map/state."""
@@ -487,8 +493,10 @@ class Tracking:
         T_out = bundle["T_out"].astype(np.float32)
         if self._bundle_correction is not None:
             # this frame was computed before a loop/GBA correction landed
-            T_out = (T_out @ self._bundle_correction).astype(np.float32)
-            self._bundle_correction = None
+            corr, remaining = self._bundle_correction
+            T_out = (T_out @ corr).astype(np.float32)
+            self._bundle_correction = (corr, remaining - 1) \
+                if remaining > 1 else None
         self.T_cw = T_out
         self.velocity = (self.T_cw @ np.linalg.inv(T_before)).astype(
             np.float32)

@@ -258,7 +258,7 @@ def pose_optimize(
             dx = -jnp.linalg.solve(H_lm, g)
             T_new = update_pose(T, dx)
             chi_new = total_chi2(T_new, w_flat)
-            chi_old = total_chi2(T, w_flat)
+            chi_old = jnp.sum(w_flat * r0 * r0)  # residuals already at T
             accept = (chi_new < chi_old) & jnp.all(jnp.isfinite(dx))
             T = jnp.where(accept, T_new, T)
             lam = jnp.where(accept, lam * 0.5, lam * 4.0)
