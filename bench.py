@@ -37,7 +37,17 @@ def main() -> None:
     cfg = SystemConfig()
     seq = synthetic.make_sequence(n_frames=N_FRAMES, width=cfg.camera.width,
                                   height=cfg.camera.height)
-    frames = [seq.render(i) for i in range(N_FRAMES)]  # pre-render (host)
+    # pre-render (host) and quantize to the sensor's native on-disk format:
+    # uint8 gray + uint16 depth in 1/depth_map_factor units — exactly what a
+    # TUM dataset loader yields (`Examples/RGB-D/main.cc:75` feeds CV_8U/CV_16U)
+    factor = cfg.camera.depth_map_factor
+
+    def quantize(gray, depth):
+        g8 = np.clip(np.round(gray), 0, 255).astype(np.uint8)
+        d16 = np.clip(np.round(depth * factor), 0, 65535).astype(np.uint16)
+        return g8, d16
+
+    frames = [quantize(*seq.render(i)) for i in range(N_FRAMES)]
 
     slam = System(config=cfg)
     times, feat_times, track_times = [], [], []

@@ -113,7 +113,10 @@ class PlaneConfig:
     vertical_info: float = 0.1  # Plane.VerticalInfo
     # TPU implementation parameters (PEAC block size; reference default 10x10)
     block: int = 8
-    merge_rounds: int = 24  # label-propagation rounds replacing AHC heap merge
+    # label-propagation rounds replacing the AHC heap merge; with pointer
+    # jumping (path halving) coverage grows ~2^rounds, so 12 rounds span any
+    # component on an 80x60 block grid — rounds are sequential device steps
+    merge_rounds: int = 12
     block_mse_sigma: float = 1.6e-6  # AHCParamSet.hpp:87 depth-dependent MSE scale
     block_mse_tol: float = 0.008  # merge tolerance (m)
     normal_sub: int = 6  # surface-normal subsample stride (PCL 3x then 2x, Frame.cc:694-752)

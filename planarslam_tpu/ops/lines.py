@@ -159,21 +159,15 @@ def detect_lines(gray: jnp.ndarray, cfg: LineConfig,
     right_near = (jnp.roll(occupied, -1, axis=1) | jnp.roll(occupied, -2, axis=1))
     occupied = occupied | (left_near & right_near)
 
-    def longest_run(occ_row):
-        def body(carry, o):
-            cur, best, best_end, idx = carry
-            cur = jnp.where(o, cur + 1, 0)
-            better = cur > best
-            best = jnp.where(better, cur, best)
-            best_end = jnp.where(better, idx, best_end)
-            return (cur, best, best_end, idx + 1), None
-
-        (cur, best, best_end, _), _ = jax.lax.scan(
-            body, (jnp.int32(0), jnp.int32(0), jnp.int32(-1), jnp.int32(0)),
-            occ_row)
-        return best, best_end
-
-    run_len, run_end = jax.vmap(longest_run)(occupied)
+    # longest contiguous run via cumulative max (log-depth, replaces a
+    # 96-step lax.scan that cost ~4 ms of pure sequential-step latency):
+    # run_len[i] = i - (last index j <= i with occ[j] == 0)
+    idx_row = jnp.arange(S_BINS, dtype=jnp.int32)[None, :]
+    last_zero = jax.lax.cummax(
+        jnp.where(occupied, jnp.int32(-1), idx_row), axis=1)
+    run_len_at = jnp.where(occupied, idx_row - last_zero, 0)  # (L, S_BINS)
+    run_len = run_len_at.max(axis=1)
+    run_end = jnp.argmax(run_len_at, axis=1).astype(jnp.int32)
     run_start = run_end - run_len + 1
 
     # exact endpoints: min/max of s among supporters inside the run bins

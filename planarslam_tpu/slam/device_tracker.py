@@ -140,10 +140,28 @@ def _pack(layout: BundleLayout, **arrays) -> jnp.ndarray:
     return jnp.concatenate(parts)
 
 
+def to_gray_depth(gray_raw: jnp.ndarray, depth_raw: jnp.ndarray,
+                  cfg: SystemConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Device-side conversion from native sensor formats.
+
+    The axon tunnel moves ~50-120 MB/s, so uploading float32 frames
+    (2.4 MB) dominates the per-frame budget; uint8 gray + uint16 depth
+    (0.9 MB, the TUM dataset's native on-disk format) cost a third. Floats
+    are also accepted (already metres / [0,255])."""
+    gray = gray_raw.astype(jnp.float32)
+    if depth_raw.dtype == jnp.uint16:
+        depth = depth_raw.astype(jnp.float32) / jnp.float32(
+            cfg.camera.depth_map_factor)
+    else:
+        depth = depth_raw.astype(jnp.float32)
+    return gray, depth
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def make_last_state(gray, depth, T_cw, velocity, cfg: SystemConfig
                     ) -> LastState:
     """Initial device state from the first frame (after init)."""
+    gray, depth = to_gray_depth(gray, depth, cfg)
     feats = extract_frame(gray, depth, cfg)
     return _state_from(feats, T_cw, velocity, cfg)
 
@@ -223,6 +241,7 @@ def fused_track_step(
     velocity = jnp.where(use_override, jnp.eye(4, dtype=jnp.float32),
                          last.velocity)
 
+    gray, depth = to_gray_depth(gray, depth, cfg)
     feats = extract_frame(gray, depth, cfg)
     T_pred = velocity @ T_last
 

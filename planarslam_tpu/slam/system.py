@@ -55,8 +55,15 @@ class System:
         """Process one frame; returns T_cw (reference `System::TrackRGBD`,
         `src/System.cc:100`). gray: (H, W) float/uint8; depth: metres."""
         t0 = time.perf_counter()
-        gray = np.asarray(gray, np.float32)
-        depth = np.asarray(depth, np.float32)
+        # native sensor dtypes (uint8 gray / uint16 TUM-unit depth) pass
+        # through to the device untouched — 2.7x less tunnel traffic than
+        # float32; float inputs keep working (converted to float32)
+        gray = np.asarray(gray)
+        depth = np.asarray(depth)
+        if gray.dtype not in (np.uint8, np.float32):
+            gray = gray.astype(np.float32)
+        if depth.dtype not in (np.uint16, np.float32):
+            depth = depth.astype(np.float32)
         n_kf_before = self.map.n_kf
         pose = self.tracker.track(gray, depth, timestamp)
         if self.map.n_kf > n_kf_before:

@@ -178,15 +178,16 @@ class Tracking:
 
         self.frame_id += 1
         self.stats["frames"] += 1
-        self._last_depth = np.asarray(depth, np.float32)
+        # raw sensor formats (uint8 gray / uint16 TUM depth) travel to the
+        # device as-is (the tunnel is bandwidth-bound); metres conversion
+        # happens device-side (device_tracker.to_gray_depth) or lazily here
+        self._last_depth = np.asarray(depth)
         t1 = _time.perf_counter()
         self.last_feature_time = 0.0  # folded into the fused step
 
         if self.state in (TrackingState.NO_IMAGES_YET,
                           TrackingState.NOT_INITIALIZED):
-            feats = extract_frame(jnp.asarray(gray, dtype=jnp.float32),
-                                  jnp.asarray(depth, dtype=jnp.float32),
-                                  self.cfg)
+            feats = self._extract_host(gray, depth)
             self._stereo_initialization(feats, timestamp)
             if self.state == TrackingState.OK:
                 self._rebuild_fused_state(gray, depth)
@@ -194,9 +195,7 @@ class Tracking:
 
         if self.state == TrackingState.LOST or self._fused_state is None:
             self.flush_pending()
-            feats = extract_frame(jnp.asarray(gray, dtype=jnp.float32),
-                                  jnp.asarray(depth, dtype=jnp.float32),
-                                  self.cfg)
+            feats = self._extract_host(gray, depth)
             ok = self._track_frame(feats, timestamp)
             if ok:
                 self._rebuild_fused_state(gray, depth)
@@ -216,6 +215,27 @@ class Tracking:
         # pose returned is the freshest processed estimate (one frame of
         # pipeline latency, like the reference's async mapping threads)
         return self.T_cw.copy()
+
+    def _extract_host(self, gray, depth) -> FrameFeatures:
+        """Non-fused extraction (init / reloc path), converting raw sensor
+        dtypes to float metres first."""
+        g, d = self._to_metres(gray, depth)
+        return extract_frame(jnp.asarray(g), jnp.asarray(d), self.cfg)
+
+    def _to_metres(self, gray, depth):
+        gray = np.asarray(gray, np.float32)
+        depth = np.asarray(depth)
+        if depth.dtype == np.uint16:
+            depth = depth.astype(np.float32) / self.cfg.camera.depth_map_factor
+        else:
+            depth = depth.astype(np.float32)
+        return gray, depth
+
+    def _depth_metres_at(self, raw: np.ndarray, ys, xs) -> np.ndarray:
+        z = raw[ys, xs].astype(np.float32)
+        if raw.dtype == np.uint16:
+            z /= self.cfg.camera.depth_map_factor
+        return z
 
     def _append_record(self, timestamp: float, lost: bool) -> None:
         """Trajectory bookkeeping relative to the reference KF."""
@@ -402,8 +422,7 @@ class Tracking:
         from planarslam_tpu.slam.device_tracker import make_last_state
 
         self._fused_state = make_last_state(
-            jnp.asarray(gray, dtype=jnp.float32),
-            jnp.asarray(depth, dtype=jnp.float32),
+            jnp.asarray(gray), jnp.asarray(depth),
             jnp.asarray(self.T_cw), jnp.asarray(self.velocity), self.cfg)
         self._window_dirty = True
         self._pending = []
@@ -441,8 +460,7 @@ class Tracking:
         self._pose_override = None
 
         result = fused_track_step(
-            jnp.asarray(gray, dtype=jnp.float32),
-            jnp.asarray(depth, dtype=jnp.float32),
+            jnp.asarray(gray), jnp.asarray(depth),
             jnp.asarray(T_ovr.astype(np.float32)), jnp.asarray(use_ovr),
             jnp.asarray(R_wm.astype(np.float32)),
             jnp.asarray(manh_enabled), self._fused_state, self._window,
@@ -967,7 +985,7 @@ class Tracking:
             if len(ys) > 0:
                 sub = slice(0, None, max(1, len(ys) // 512))
                 cam = cfg.camera
-                zz = self._last_depth[ys[sub], xs[sub]]
+                zz = self._depth_metres_at(self._last_depth, ys[sub], xs[sub])
                 okz = zz > 0
                 px = (xs[sub][okz] - cam.cx) / cam.fx * zz[okz]
                 py = (ys[sub][okz] - cam.cy) / cam.fy * zz[okz]
