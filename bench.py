@@ -72,7 +72,13 @@ def main() -> None:
         "detail": {
             "median_ms_per_frame": round(median_ms, 3),
             "mean_ms_per_frame": round(float(t.mean() * 1e3), 3),
-            "median_feature_ms": round(
+            # Feature/Track split protocol (`src/Tracking.cc:189-198`): the
+            # fused pipeline runs extraction+tracking as ONE device program,
+            # so feature_ms is the CALIBRATED latency of the extraction-only
+            # program run standalone (blocking). It can exceed the pipelined
+            # per-frame total because depth-2 pipelining hides device
+            # latency behind the next frame's dispatch.
+            "feature_ms_unpipelined_calibrated": round(
                 float(np.median(feat_times[WARMUP:]) * 1e3), 3),
             "median_track_ms": round(
                 float(np.median(track_times[WARMUP:]) * 1e3), 3),

@@ -177,7 +177,10 @@ def associate_planes(frame_coeffs_w: np.ndarray, map_coeffs: np.ndarray,
             if cos < best_ver:
                 best_ver = cos
                 ver[i] = j
-        if direct[i] >= 0:
+        # par/ver kept independently of a direct match (PlaneMatcher.cpp
+        # :48-61); only the direct plane is not its own structural partner
+        if direct[i] >= 0 and par[i] == direct[i]:
             par[i] = -1
+        if direct[i] >= 0 and ver[i] == direct[i]:
             ver[i] = -1
     return direct, par, ver

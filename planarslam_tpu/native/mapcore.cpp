@@ -138,7 +138,12 @@ void associate_planes(const double* frame_coeffs_w, int64_t n_frame,
             if (cosv > best_par_cos) { best_par_cos = cosv; out_par[i] = (int32_t)j; }
             if (cosv < best_ver_cos) { best_ver_cos = cosv; out_ver[i] = (int32_t)j; }
         }
-        if (out_direct[i] >= 0) { out_par[i] = -1; out_ver[i] = -1; }
+        // par/ver are kept independently of a direct match (reference
+        // PlaneMatcher records mvpParallelPlanes/mvpVerticalPlanes
+        // regardless, `src/PlaneMatcher.cpp:48-61`); only the directly
+        // matched plane itself is not its own structural partner
+        if (out_direct[i] >= 0 && out_par[i] == out_direct[i]) out_par[i] = -1;
+        if (out_direct[i] >= 0 && out_ver[i] == out_direct[i]) out_ver[i] = -1;
     }
 }
 

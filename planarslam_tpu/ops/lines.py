@@ -358,3 +358,89 @@ def match_lines(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
     back = jnp.argmax(sim, axis=0)
     ok = ok & (back[best_idx] == jnp.arange(sim.shape[0]))
     return jnp.where(ok, best_idx, -1).astype(jnp.int32), best
+
+
+@partial(jax.jit,
+         static_argnames=("K", "image_wh", "radius", "max_angle", "min_sim"))
+def search_lines_by_projection(
+        sw_w: jnp.ndarray,      # (M, 3) map line start endpoints (world)
+        ew_w: jnp.ndarray,      # (M, 3) map line end endpoints (world)
+        desc_m: jnp.ndarray,    # (M, D) map line descriptors
+        valid_m: jnp.ndarray,   # (M,) bool
+        T_cw: jnp.ndarray,      # (4, 4) world -> camera
+        f_uv_s: jnp.ndarray,    # (L, 2) frame segment starts
+        f_uv_e: jnp.ndarray,    # (L, 2) frame segment ends
+        f_angle: jnp.ndarray,   # (L,)
+        f_desc: jnp.ndarray,    # (L, D)
+        f_valid: jnp.ndarray,   # (L,) bool
+        K: Tuple[float, float, float, float],
+        image_wh: Tuple[float, float],
+        radius: float = 12.0,
+        max_angle: float = 0.26,
+        min_sim: float = 0.7,
+        ):
+    """Guided line matching by projection — `LSDmatcher::SearchByProjection`
+    (`src/LSDmatcher.cpp:20,141`): project each map line's endpoints through
+    the predicted pose, gate detected segments on (a) endpoint distance to
+    the projected INFINITE line, (b) segment overlap along the projected
+    extent, (c) direction angle, (d) descriptor similarity; best match per
+    map line, duplicates resolved per frame line by similarity.
+
+    Dense (M, L) scoring — no per-line loops; one XLA program.
+    Returns (idx (M,) frame-line index or -1, sim (M,)).
+    """
+    fx, fy, cx, cy = K
+    W, H = image_wh
+    R, t = T_cw[:3, :3], T_cw[:3, 3]
+    ps = sw_w @ R.T + t
+    pe = ew_w @ R.T + t
+    zs, ze = ps[:, 2], pe[:, 2]
+    in_front = (zs > 0.05) & (ze > 0.05)
+    us = fx * ps[:, 0] / jnp.maximum(zs, 1e-6) + cx
+    vs = fy * ps[:, 1] / jnp.maximum(zs, 1e-6) + cy
+    ue = fx * pe[:, 0] / jnp.maximum(ze, 1e-6) + cx
+    ve = fy * pe[:, 1] / jnp.maximum(ze, 1e-6) + cy
+    # at least one endpoint on-screen (partial visibility allowed, like the
+    # reference's fragment handling)
+    on_s = (us >= 0) & (us < W) & (vs >= 0) & (vs < H)
+    on_e = (ue >= 0) & (ue < W) & (ve >= 0) & (ve < H)
+    vis = valid_m & in_front & (on_s | on_e)
+
+    # projected infinite line (a, b, c) through the two projected endpoints
+    dx, dy = ue - us, ve - vs
+    nrm = jnp.sqrt(dx * dx + dy * dy) + 1e-9
+    a = -dy / nrm
+    b = dx / nrm
+    c = -(a * us + b * vs)
+    ang_p = jnp.mod(jnp.arctan2(dy, dx), jnp.pi)
+
+    # (M, L) gates
+    def dist_to(uv):
+        return jnp.abs(a[:, None] * uv[None, :, 0]
+                       + b[:, None] * uv[None, :, 1] + c[:, None])
+
+    d_s = dist_to(f_uv_s)
+    d_e = dist_to(f_uv_e)
+    close = (d_s < radius) & (d_e < radius)
+
+    # overlap: frame midpoint's parameter along the projected segment
+    mid = 0.5 * (f_uv_s + f_uv_e)
+    rel_u = mid[None, :, 0] - us[:, None]
+    rel_v = mid[None, :, 1] - vs[:, None]
+    tpar = (rel_u * dx[:, None] + rel_v * dy[:, None]) / (nrm[:, None] ** 2)
+    overlap = (tpar > -0.25) & (tpar < 1.25)
+
+    da = jnp.abs(ang_p[:, None] - f_angle[None, :])
+    da = jnp.minimum(da, jnp.pi - da)
+
+    sim = desc_m @ f_desc.T
+    gate = (vis[:, None] & f_valid[None, :] & close & overlap
+            & (da < max_angle))
+    sim = jnp.where(gate, sim, -1.0)
+    best = jnp.argmax(sim, axis=1)
+    best_sim = jnp.max(sim, axis=1)
+    ok = best_sim > min_sim
+    # duplicate resolution: a frame line keeps only its most-similar map line
+    back = jnp.argmax(sim, axis=0)
+    ok = ok & (back[best] == jnp.arange(sim.shape[0]))
+    return jnp.where(ok, best, -1).astype(jnp.int32), best_sim

@@ -166,6 +166,66 @@ def mapping_step(
     return jnp.concatenate(parts)
 
 
+@partial(jax.jit, static_argnames=("cfg", "radius"))
+def fuse_set_step(
+    lm_xyz: jnp.ndarray,    # (C, 3) landmark positions (world)
+    lm_desc: jnp.ndarray,   # (C, 8)
+    lm_valid: jnp.ndarray,  # (C,) bool
+    nb_T: jnp.ndarray,      # (NB, 4, 4) target KF poses
+    nb_uv: jnp.ndarray,     # (NB, K, 2)
+    nb_desc: jnp.ndarray,   # (NB, K, 8)
+    nb_level: jnp.ndarray,  # (NB, K)
+    nb_valid: jnp.ndarray,  # (NB, K) bool
+    nb_ur: jnp.ndarray,     # (NB, K)
+    nb_ok: jnp.ndarray,     # (NB,) bool
+    cfg: SystemConfig,
+    radius: float = 4.0,
+) -> jnp.ndarray:
+    """Project a landmark SET into several target keyframes and match —
+    the `ORBmatcher::Fuse` loop of loop closing's SearchAndFuse
+    (`src/LoopClosing.cc:587`, `src/ORBmatcher.cc:829`), all targets in one
+    program. Returns (NB, C) int32 feature index or -1."""
+    cam = cfg.camera
+    K = (cam.fx, cam.fy, cam.cx, cam.cy)
+
+    def one(T, uv, desc, level, valid, ur, ok):
+        res = matching.search_by_projection(
+            lm_xyz, lm_desc, lm_valid & ok, T, uv, desc, level, valid, ur,
+            K=K, image_wh=(float(cam.width), float(cam.height)), bf=cam.bf,
+            scale_factor=cfg.orb.scale_factor, radius=radius,
+            max_dist=cfg.matcher.th_low, level_window=1)
+        return res.idx
+
+    return jax.vmap(one)(nb_T, nb_uv, nb_desc, nb_level, nb_valid, nb_ur,
+                         nb_ok)
+
+
+def run_fuse_set(slam_map, lm_ids: np.ndarray, target_kfs, cfg: SystemConfig,
+                 radius: float = 4.0) -> dict:
+    """Host wrapper for fuse_set_step over up to N_NEIGHBORS target KFs."""
+    m = slam_map
+    C = cfg.orb.max_keypoints
+    ids = np.full(C, 0, np.int64)
+    n = min(len(lm_ids), C)
+    ids[:n] = lm_ids[:n]
+    valid = np.zeros(C, bool)
+    valid[:n] = m.pt_valid[ids[:n]]
+    NB = N_NEIGHBORS
+    tg = list(target_kfs)[:NB]
+    nb_ids = (tg + [0] * NB)[:NB]
+    nb_ok = np.zeros(NB, bool)
+    nb_ok[:len(tg)] = True
+    nb_arr = np.asarray(nb_ids)
+    idx = fuse_set_step(
+        jnp.asarray(m.pt_xyz[ids]), jnp.asarray(m.pt_desc[ids]),
+        jnp.asarray(valid), jnp.asarray(m.kf_pose[nb_arr]),
+        jnp.asarray(m.kf_uv[nb_arr]), jnp.asarray(m.kf_desc[nb_arr]),
+        jnp.asarray(m.kf_level[nb_arr]), jnp.asarray(m.kf_feat_valid[nb_arr]),
+        jnp.asarray(m.kf_ur[nb_arr]), jnp.asarray(nb_ok), cfg, radius=radius)
+    return {"idx": np.asarray(idx), "lm_ids": ids, "lm_valid": valid,
+            "nb_ids": nb_arr, "nb_ok": nb_ok}
+
+
 def run_mapping_step(slam_map, kf: int, cfg: SystemConfig) -> dict:
     """Gather inputs from the host map, run the fused kernel, unpack."""
     m = slam_map

@@ -59,6 +59,8 @@ class LocalMapping:
             res = run_mapping_step(m, kf, self.cfg)
             self._apply_triangulation(kf, res)
             self._apply_fuse(kf, res)
+            self._fuse_lines(kf)
+            self._update_distinctive_descriptors(kf)
         self._cull_keyframes(kf)
         if self.enable_local_ba and m.n_kf >= 3:
             from planarslam_tpu.solvers.local_ba import local_bundle_adjustment
@@ -171,6 +173,9 @@ class LocalMapping:
             self._recent_pts.pop(p, None)
 
     def _cull_lines(self, kf: int) -> None:
+        """Reference `MapLineCulling` (`src/LocalMapping.cc:204`): probation
+        erases lines with found/visible ratio < 0.25 or too few observers
+        shortly after creation."""
         m = self.map
         drop = []
         erase = []
@@ -179,7 +184,11 @@ class LocalMapping:
                 drop.append(l)
                 continue
             age = kf - born
-            if age >= 2 and m.ln_nobs[l] <= 1:
+            ratio = m.ln_found[l] / max(m.ln_visible[l], 1)
+            if ratio < 0.25 and m.ln_visible[l] >= 3:
+                erase.append(l)
+                drop.append(l)
+            elif age >= 2 and m.ln_nobs[l] <= 1:
                 erase.append(l)
                 drop.append(l)
             elif age >= 3:
@@ -188,6 +197,56 @@ class LocalMapping:
             m.erase_line(np.asarray(erase))
         for l in drop:
             self._recent_lns.pop(l, None)
+
+    def _fuse_lines(self, kf: int) -> None:
+        """Line fuse across covisible neighbors (`LSDmatcher::Fuse`
+        `src/LSDmatcher.cpp:750,884`): project this KF's map lines into each
+        neighbor; a hit on a segment bound to a DIFFERENT map line merges
+        the two (better-observed id wins), an unbound hit adds the missing
+        association. Keeps the map line count bounded across revisits."""
+        from planarslam_tpu.ops.lines import search_lines_by_projection
+        import jax.numpy as jnp
+
+        m = self.map
+        cfg = self.cfg
+        cam = cfg.camera
+        own = m.kf_ln_idx[kf]
+        own_ids = np.unique(own[own >= 0])
+        own_ids = own_ids[m.ln_valid[own_ids]]
+        if len(own_ids) == 0:
+            return
+        cap = cfg.map.max_lines
+        ids_l = np.zeros(cap, np.int64)
+        ids_l[:len(own_ids)] = own_ids[:cap]
+        valid_l = np.zeros(cap, bool)
+        valid_l[:len(own_ids)] = True
+        for nb in [int(c) for c in m.covisible_kfs(kf)[:4]]:
+            idx, _ = search_lines_by_projection(
+                jnp.asarray(m.ln_sw[ids_l]), jnp.asarray(m.ln_ew[ids_l]),
+                jnp.asarray(m.ln_desc[ids_l]), jnp.asarray(valid_l),
+                jnp.asarray(m.kf_pose[nb]),
+                jnp.asarray(m.kf_ln_uv_s[nb]), jnp.asarray(m.kf_ln_uv_e[nb]),
+                jnp.asarray(m.kf_ln_angle[nb]), jnp.asarray(m.kf_ln_desc[nb]),
+                jnp.asarray(m.kf_ln_valid[nb]),
+                K=(cam.fx, cam.fy, cam.cx, cam.cy),
+                image_wh=(float(cam.width), float(cam.height)),
+                radius=8.0)
+            idx = np.asarray(idx)
+            for s in np.flatnonzero(idx >= 0):
+                p = int(ids_l[s])
+                if not m.ln_valid[p]:  # merged away earlier this loop
+                    continue
+                f = int(idx[s])
+                q = int(m.kf_ln_idx[nb, f])
+                if q == p:
+                    continue
+                if q >= 0 and m.ln_valid[q]:
+                    keep, dropped = (p, q) if m.ln_nobs[p] >= m.ln_nobs[q] \
+                        else (q, p)
+                    m.replace_line(dropped, keep)
+                else:
+                    m.kf_ln_idx[nb, f] = p
+                    m.ln_nobs[p] += 1
 
     # ----------------------------------------------------------------- planes
     def _cull_planes(self, kf: int) -> None:
@@ -222,27 +281,110 @@ class LocalMapping:
             table[table == drop] = keep
         m.pl_nobs[keep] += m.pl_nobs[drop]
         m.pl_valid[drop] = False
+        m.refit_plane(keep)
+
+    def _update_distinctive_descriptors(self, kf: int) -> None:
+        """Re-elect each landmark's representative descriptor as the medoid
+        of its per-KF observations (`MapPoint::ComputeDistinctiveDescriptors`
+        `src/MapPoint.cc:225-270`: minimal median distance to the others;
+        same policy for MapLine descriptor pools, `src/MapLine.cpp`).
+
+        Round 1 froze the creation-time descriptor forever; as viewpoint
+        changes accumulate, matching against a stale descriptor degrades."""
+        m = self.map
+        row = m.kf_pt_idx[kf]
+        feats = np.flatnonzero(row >= 0)
+        own = row[feats][m.pt_valid[row[feats]]]
+        if len(own) == 0:
+            return
+        lut = np.full(m.pt_valid.shape[0], -1, np.int64)
+        lut[own] = np.arange(len(own))
+        pools: list[list[np.ndarray]] = [[] for _ in own]
+        for other in m.valid_kf_ids():
+            rowk = m.kf_pt_idx[int(other)]
+            sel = np.flatnonzero(rowk >= 0)
+            li = lut[rowk[sel]]
+            hit = li >= 0
+            for f, i in zip(sel[hit], li[hit]):
+                pools[i].append(m.kf_desc[int(other), f])
+        for i, pool in enumerate(pools):
+            if len(pool) < 3:
+                continue
+            D = np.stack(pool)  # (n, 8) uint32
+            bits = np.unpackbits(D.view(np.uint8), axis=1)
+            ham = (bits[:, None, :] != bits[None, :, :]).sum(-1)
+            med = np.median(ham, axis=1)
+            m.pt_desc[own[i]] = D[int(np.argmin(med))]
+
+        # lines: medoid by cosine distance over the float band descriptors
+        rowl = m.kf_ln_idx[kf]
+        featsl = np.flatnonzero(rowl >= 0)
+        ownl = rowl[featsl][m.ln_valid[rowl[featsl]]]
+        if len(ownl) == 0:
+            return
+        lutl = np.full(m.ln_valid.shape[0], -1, np.int64)
+        lutl[ownl] = np.arange(len(ownl))
+        poolsl: list[list[np.ndarray]] = [[] for _ in ownl]
+        for other in m.valid_kf_ids():
+            rowk = m.kf_ln_idx[int(other)]
+            sel = np.flatnonzero(rowk >= 0)
+            li = lutl[rowk[sel]]
+            hit = li >= 0
+            for f, i in zip(sel[hit], li[hit]):
+                poolsl[i].append(m.kf_ln_desc[int(other), f])
+        for i, pool in enumerate(poolsl):
+            if len(pool) < 3:
+                continue
+            D = np.stack(pool)
+            dist = 1.0 - D @ D.T
+            med = np.median(dist, axis=1)
+            m.ln_desc[ownl[i]] = D[int(np.argmin(med))]
 
     # -------------------------------------------------------------- keyframes
     def _cull_keyframes(self, kf: int) -> None:
         """Reference `KeyFrameCulling` (`src/LocalMapping.cc:1226`): a local
-        KF is redundant if >=90% of its points are seen by >=3 other KFs.
-        Skipped for KFs that introduced a new plane (`:1226-1231`)."""
+        KF is redundant if >=90% of its points are observed by >=3 OTHER
+        keyframes at the same or finer scale level (`:1256-1287` — round 1
+        used a scale-blind nobs>=4 proxy). Skipped for KFs that introduced
+        a new plane (`:1226-1231`)."""
         m = self.map
+        n_pts_cap = m.pt_valid.shape[0]
         for cand in m.covisible_kfs(kf):
             cand = int(cand)
             if cand == 0 or not m.kf_valid[cand]:
                 continue  # never cull the origin KF
             if (m.pl_first_kf[m.pl_valid] == cand).any():
                 continue
-            own = m.kf_pt_idx[cand]
-            own = own[(own >= 0)]
-            own = own[m.pt_valid[own]]
-            if len(own) < 20:
+            row = m.kf_pt_idx[cand]
+            feats = np.flatnonzero(row >= 0)
+            feats = feats[m.pt_valid[row[feats]]]
+            if len(feats) < 20:
                 continue
-            redundant = (m.pt_nobs[own] >= 4).mean()
+            own = row[feats]
+            lvls = m.kf_level[cand, feats]
+            lut = np.full(n_pts_cap, -1, np.int64)
+            lut[own] = np.arange(len(own))
+            counts = np.zeros(len(own), np.int32)
+            for other in m.valid_kf_ids():
+                other = int(other)
+                if other == cand:
+                    continue
+                rowk = m.kf_pt_idx[other]
+                sel = np.flatnonzero(rowk >= 0)
+                li = lut[rowk[sel]]
+                hit = li >= 0
+                if not hit.any():
+                    continue
+                # scale rule: observer level <= own level + 1
+                lev_ok = m.kf_level[other, sel[hit]] <= lvls[li[hit]] + 1
+                counts += np.bincount(li[hit][lev_ok], minlength=len(own)
+                                      ).astype(np.int32)
+            redundant = (counts >= 3).mean()
             if redundant > 0.9:
-                m.kf_valid[cand] = False
+                # stores T_cull_parent + reparents children so trajectory
+                # save / loop re-anchoring keep following corrections
+                # (reference SetBadFlag, `src/KeyFrame.cc:560-620`)
+                m.cull_keyframe(cand)
                 m.pt_nobs[own] -= 1
                 # detach observations
                 m.kf_pt_idx[cand] = -1

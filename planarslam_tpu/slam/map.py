@@ -48,6 +48,10 @@ class SlamMap:
         self.pt_found = np.zeros(m.max_points, np.int32)
         self.pt_first_kf = np.full(m.max_points, -1, np.int32)
         self.pt_on_plane = np.zeros(m.max_points, bool)  # SetAssociatedWithPlaneFlag
+        # generation stamp per slot: incremented on erase, so holders of a
+        # carried id can detect that the slot was recycled for a different
+        # landmark (pt_valid alone cannot — alloc_points revalidates slots)
+        self.pt_gen = np.zeros(m.max_points, np.int32)
 
         # --- lines (MapLine fields, `include/MapLine.h:24`) ------------------
         self.ln_sw = np.zeros((m.max_lines, 3), np.float32)
@@ -56,6 +60,11 @@ class SlamMap:
         self.ln_valid = np.zeros(m.max_lines, bool)
         self.ln_nobs = np.zeros(m.max_lines, np.int32)
         self.ln_first_kf = np.full(m.max_lines, -1, np.int32)
+        # found/visible stats for culling (`MapLine::IncreaseFound/Visible`,
+        # `include/MapLine.h:96-104`) + mean viewing direction
+        self.ln_found = np.zeros(m.max_lines, np.int32)
+        self.ln_visible = np.zeros(m.max_lines, np.int32)
+        self.ln_view_dir = np.zeros((m.max_lines, 3), np.float32)
 
         # --- planes (MapPlane fields, `include/MapPlane.h:23`) ---------------
         self.pl_coeffs = np.zeros((m.max_planes, 4), np.float32)
@@ -90,6 +99,11 @@ class SlamMap:
         self.kf_ln_line2d = np.zeros((m.max_keyframes, kl, 3), np.float32)
         self.kf_ln_desc = np.zeros((m.max_keyframes, kl, ld), np.float32)
         self.kf_ln_valid = np.zeros((m.max_keyframes, kl), bool)
+        # 2D segment endpoints + angle (needed by the guided line
+        # projection search / fuse, `src/LSDmatcher.cpp:20,750`)
+        self.kf_ln_uv_s = np.zeros((m.max_keyframes, kl, 2), np.float32)
+        self.kf_ln_uv_e = np.zeros((m.max_keyframes, kl, 2), np.float32)
+        self.kf_ln_angle = np.zeros((m.max_keyframes, kl), np.float32)
         # BoW-style retrieval sketch per KF (loop closing)
         self.kf_bow = np.zeros((m.max_keyframes, 1 << cfg.loop.vocab_bits),
                                np.float32)
@@ -98,6 +112,12 @@ class SlamMap:
         self.covis = np.zeros((m.max_keyframes, m.max_keyframes), np.int32)
         # spanning tree parent (for trajectory save of culled KFs)
         self.kf_parent = np.full(m.max_keyframes, -1, np.int32)
+        # relative pose to parent, stored at cull time (reference
+        # `KeyFrame::SetBadFlag` mTcp, `src/KeyFrame.cc:608`): culled KFs
+        # stop receiving loop/GBA corrections, so anything anchored to them
+        # must chain through T_culled_parent to the nearest VALID ancestor
+        self.kf_tcp = np.tile(np.eye(4, dtype=np.float32),
+                              (m.max_keyframes, 1, 1))
 
         self.n_kf = 0  # next keyframe slot (monotonic)
         self.next_pt = 0
@@ -157,10 +177,53 @@ class SlamMap:
                                 self.n_kf, kf)
         self.covis[kf, :self.n_kf] = w
         self.covis[:self.n_kf, kf] = w
-        # spanning tree: parent = strongest covisible older KF
-        older = self.covis[kf, :kf]
+        # spanning tree: parent = strongest covisible older VALID KF
+        older = self.covis[kf, :kf] * self.kf_valid[:kf]
         if kf > 0 and older.max(initial=0) > 0:
             self.kf_parent[kf] = int(np.argmax(older))
+
+    def cull_keyframe(self, kf: int) -> None:
+        """Invalidate a redundant KF, storing its pose RELATIVE to the
+        nearest valid ancestor and reparenting its children (reference
+        `KeyFrame::SetBadFlag`, `src/KeyFrame.cc:560-620`). Without this,
+        landmarks/trajectory frames anchored to the culled KF silently stop
+        receiving loop/GBA corrections (its stored absolute pose goes
+        stale)."""
+        anchor, _ = self.resolve_kf(int(self.kf_parent[kf])
+                                    if self.kf_parent[kf] >= 0 else 0)
+        if anchor < 0:
+            anchor = 0
+        # both kf and anchor poses are current here, so the stored relative
+        # is exact: T_kf_w = kf_tcp @ T_anchor_w
+        self.kf_tcp[kf] = (self.kf_pose[kf]
+                           @ np.linalg.inv(self.kf_pose[anchor])
+                           ).astype(np.float32)
+        # reparent VALID children to the anchor (culled children keep their
+        # parent pointer — their stored tcp is relative to THIS kf and the
+        # resolve walk chains through it)
+        self.kf_parent[kf] = anchor
+        children = np.flatnonzero((self.kf_parent[:self.n_kf] == kf)
+                                  & self.kf_valid[:self.n_kf])
+        self.kf_parent[children[children != kf]] = anchor
+        self.kf_valid[kf] = False
+
+    def resolve_kf(self, kf: int):
+        """Nearest valid ancestor of a (possibly culled) KF.
+
+        Returns (anchor_id, T_rel) with T_kf_w = T_rel @ T_anchor_w, chaining
+        the stored cull-time relatives (reference `SaveTrajectoryTUM` walks
+        `GetParent()` multiplying mTcp, `src/System.cc:208-214`)."""
+        T_rel = np.eye(4, dtype=np.float32)
+        seen = set()
+        while kf >= 0 and not self.kf_valid[kf] and kf not in seen:
+            seen.add(kf)
+            T_rel = T_rel @ self.kf_tcp[kf]
+            kf = int(self.kf_parent[kf])
+        if kf < 0 or not self.kf_valid[kf]:
+            valid = self.valid_kf_ids()
+            return (int(valid[0]) if len(valid) else -1,
+                    np.eye(4, dtype=np.float32))
+        return kf, T_rel
 
     def local_map_points(self, kf_ids: np.ndarray, cap: int) -> np.ndarray:
         """Union of point ids observed by the given KFs, padded to cap."""
@@ -189,6 +252,47 @@ class SlamMap:
             self.pl_cloud[pl], int(self.pl_cloud_n[pl]),
             pts_w.astype(np.float32), leaf, cap)
 
+    def refit_plane(self, pl: int) -> None:
+        """Re-estimate a plane's coefficients from its merged world cloud
+        (the reference refits by RANSAC over the voxel cloud on every
+        update, `src/MapPlane.cc:298-366`; here: eigen-fit with one
+        robust trim round — same estimator PEAC uses per block).
+
+        Round 1 froze coefficients at first observation (VERDICT item 6a);
+        as clouds grow across keyframes the frozen normal drifts from the
+        evidence."""
+        n = int(self.pl_cloud_n[pl])
+        if n < 30:
+            return
+        pts = self.pl_cloud[pl, :n].astype(np.float64)
+        prev = self.pl_coeffs[pl].astype(np.float64)
+
+        def eigen_fit(p):
+            mean = p.mean(axis=0)
+            c = p - mean
+            cov = c.T @ c / len(p)
+            evals, evecs = np.linalg.eigh(cov)
+            normal = evecs[:, 0]
+            d = -normal @ mean
+            return normal, d
+
+        normal, d = eigen_fit(pts)
+        # one trim round: drop points beyond 2x the assoc distance gate
+        dist = np.abs(pts @ normal + d)
+        keep = dist < max(2.0 * float(np.median(dist)),
+                          self.cfg.planes.leaf_size)
+        if keep.sum() >= 30:
+            normal, d = eigen_fit(pts[keep])
+        coeffs = np.r_[normal, d]
+        # keep the g2o sign convention (d >= 0, unit normal)
+        if coeffs[3] < 0:
+            coeffs = -coeffs
+        # reject a refit that flips the plane (degenerate cloud geometry)
+        if abs(coeffs[:3] @ prev[:3] / max(np.linalg.norm(prev[:3]), 1e-9)) \
+                < 0.9:
+            return
+        self.pl_coeffs[pl] = coeffs.astype(np.float32)
+
     def plane_min_dist_to_cloud(self, coeffs_w: np.ndarray, pl: int) -> float:
         """Min |n.x + d| over the plane's cloud (native mapcore;
         PlaneMatcher's point-to-plane test, `src/PlaneMatcher.cpp:30-60`)."""
@@ -205,6 +309,7 @@ class SlamMap:
         rebind to different landmarks (fatal for BA)."""
         ids = np.atleast_1d(np.asarray(ids))
         self.pt_valid[ids] = False
+        self.pt_gen[ids] += 1
         tbl = self.kf_pt_idx[:self.n_kf]
         tbl[np.isin(tbl, ids)] = -1
 
@@ -232,9 +337,41 @@ class SlamMap:
         self.pt_found[keep] += self.pt_found[drop]
         self.pt_visible[keep] += self.pt_visible[drop]
         self.pt_valid[drop] = False
+        self.pt_gen[drop] += 1
 
     def point_stats_update(self, ids: np.ndarray, found_mask: np.ndarray) -> None:
         """Track the found/visible ratio used by culling
         (`MapPoint::IncreaseFound/IncreaseVisible`)."""
         self.pt_visible[ids] += 1
         self.pt_found[ids[found_mask]] += 1
+
+    def line_stats_update(self, ids: np.ndarray, found_mask: np.ndarray,
+                          cam_center_w: np.ndarray | None = None) -> None:
+        """found/visible tracking + running mean view direction for map
+        lines (`MapLine::IncreaseFound/IncreaseVisible/UpdateAverageDir`)."""
+        self.ln_visible[ids] += 1
+        self.ln_found[ids[found_mask]] += 1
+        if cam_center_w is not None and len(ids):
+            mid = 0.5 * (self.ln_sw[ids] + self.ln_ew[ids])
+            v = mid - cam_center_w[None, :]
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-9)
+            acc = self.ln_view_dir[ids] * (self.ln_visible[ids, None] - 1) + v
+            self.ln_view_dir[ids] = acc / np.maximum(
+                np.linalg.norm(acc, axis=1, keepdims=True), 1e-9)
+
+    def replace_line(self, drop: int, keep: int) -> None:
+        """MapLine::Replace: rewrite observations of `drop` to `keep`
+        (line fuse, `src/LSDmatcher.cpp:750,884`)."""
+        tbl = self.kf_ln_idx[:self.n_kf]
+        where = tbl == drop
+        conflict = np.isin(tbl, [keep]) .any(axis=1)
+        for k in np.flatnonzero(where.any(axis=1)):
+            row = tbl[k]
+            if conflict[k]:
+                row[row == drop] = -1  # KF already observes keep
+            else:
+                row[row == drop] = keep
+        self.ln_nobs[keep] += self.ln_nobs[drop]
+        self.ln_found[keep] += self.ln_found[drop]
+        self.ln_visible[keep] += self.ln_visible[drop]
+        self.ln_valid[drop] = False

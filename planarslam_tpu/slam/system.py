@@ -66,6 +66,15 @@ class System:
             depth = depth.astype(np.float32)
         n_kf_before = self.map.n_kf
         pose = self.tracker.track(gray, depth, timestamp)
+        self._post_track(n_kf_before)
+        self.timings.append(time.perf_counter() - t0)
+        self._timestamps.append(timestamp)
+        return pose
+
+    def _post_track(self, n_kf_before: int) -> None:
+        """Back-end stages after one tracked frame: KF retrieval DB, local
+        mapping, loop closing, auto-reset — shared by track_rgbd and the
+        batched replayer's external-step path."""
         if self.map.n_kf > n_kf_before:
             kf = self.map.n_kf - 1
             self.kf_db.add(self.map, kf)
@@ -80,9 +89,26 @@ class System:
                         # map (reference CorrectLoop re-bases Tracking)
                         self.tracker.apply_map_correction(
                             T_old, self.map.kf_pose[kf].copy())
-        self.timings.append(time.perf_counter() - t0)
-        self._timestamps.append(timestamp)
-        return pose
+        # auto-reset when lost with a young map (<=5 KFs, reference
+        # `src/Tracking.cc:403-408` "Track lost soon after initialisation")
+        if self.tracker.needs_reset and not self.localization_only:
+            self.reset()
+
+    def submit_fused_result(self, result, timestamp: float) -> np.ndarray:
+        """Batched-replay entry: apply an EXTERNALLY computed fused-step
+        result (one slice of the vmapped multi-sequence program) and run
+        the same back-end stages as track_rgbd."""
+        n_kf_before = self.map.n_kf
+        tr = self.tracker
+        tr.frame_id += 1
+        tr.stats["frames"] += 1
+        ok = tr.submit_fused_result(result, timestamp)
+        if not ok:
+            tr.stats["lost"] += 1
+            tr.state = TrackingState.LOST
+            tr._flag_reset_if_young()
+        self._post_track(n_kf_before)
+        return tr.T_cw.copy()
 
     # alias matching the reference method name
     TrackRGBD = track_rgbd
@@ -97,8 +123,12 @@ class System:
         self.tracker.only_tracking = False
 
     def reset(self):
-        """Reference `System::Reset` -> `Tracking::Reset` (clears map/ids)."""
+        """Reference `System::Reset` -> `Tracking::Reset` (clears map, KF
+        database, and tracker state, `src/Tracking.cc:1877-1910`)."""
+        from planarslam_tpu.slam.retrieval import KeyFrameDatabase
+
         self.map = SlamMap(self.cfg)
+        self.kf_db = KeyFrameDatabase(self.cfg)  # ref clears the DB too
         self.tracker = Tracking(self.cfg, self.map, kf_db=self.kf_db)
         if self.local_mapper is not None:
             self.local_mapper = LocalMapping(self.cfg, self.map)
@@ -130,7 +160,10 @@ class System:
         self.tracker.flush_pending()
         out = []
         for rec in self.tracker.records:
-            T_rw = self.map.kf_pose[rec.ref_kf]
+            # culled reference KFs chain through their stored cull-time
+            # relative to the nearest valid ancestor (`src/System.cc:208-214`)
+            anchor, T_rel = self.map.resolve_kf(int(rec.ref_kf))
+            T_rw = T_rel @ self.map.kf_pose[anchor]
             T_cw = rec.T_cr @ T_rw
             out.append(np.linalg.inv(T_cw))
         return np.asarray(out)

@@ -1,213 +1,157 @@
-"""Local bundle adjustment — batched Gauss-Newton with dense Schur complement.
+"""Local bundle adjustment over points + line endpoints + planes.
 
 Rebuild of `Optimizer::LocalBundleAdjustment` (`src/Optimizer.cc:1853`):
 optimize the covisibility-local window of keyframe poses plus the point /
-line-endpoint / plane landmarks they observe, with fixed anchor keyframes,
-in the reference's two-stage schedule (5 iterations, outlier purge at
-5.991 mono / 7.815 stereo / 2x5.991 line / Plane.Chi, then 10 more
-iterations) and write-back of poses + landmarks + erased outlier
-observations.
+line-endpoint / plane landmarks they observe (vertices at `:1906-2010`),
+with fixed anchor keyframes, in the reference's two-stage schedule
+(5 iterations, outlier purge at 5.991 mono / 7.815 stereo / 2x5.991 per
+line pair / Plane.Chi / VPChi, then 10 more iterations) and write-back of
+poses + landmarks + erased outlier observations.
 
 Note: the shipped reference never CALLS this (the invocation is commented
 out at `src/LocalMapping.cc:67-69`); it is kept behind
 LocalMapping(enable_local_ba=...) for ship-state parity (SURVEY.md §7
 semantics-to-preserve).
 
-TPU shape: the g2o sparse graph becomes dense masked tables
-(obs[kf_slot, feature] -> local landmark slot). The reduced camera system is
-tiny (6K x 6K, K <= ~10); the point system is block-diagonal (batched 3x3
-inverses); their coupling is one dense einsum — textbook Schur, all MXU.
-Point Jacobians are analytic; line-endpoint and plane Jacobians come from
-per-observation jacfwd over their small parameter blocks.
+The solver core (dense Schur over unified 3-dof landmark blocks, exact
+gauge fixing, LM accept/reject) lives in solvers/ba_core.py.
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
+from typing import List, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from planarslam_tpu.config import SystemConfig
-from planarslam_tpu.geometry import plane as plane_geo
-from planarslam_tpu.geometry import se3
-
-CHI2_MONO = 5.991
-CHI2_STEREO = 7.815
+from planarslam_tpu.config import PlaneConfig, SystemConfig
+from planarslam_tpu.solvers import ba_core
+from planarslam_tpu.solvers.ba_core import (CHI2_MONO, CHI2_STEREO,
+                                            BAWeights, LineTables,
+                                            PlaneTables, PointTables,
+                                            ba_solve)
 
 MAX_LOCAL_KF = 8
 MAX_FIXED_KF = 8
 MAX_LOCAL_PTS = 2048
+MAX_LOCAL_LNS = 128   # line landmarks -> 256 endpoint blocks
+MAX_LOCAL_PLS = 32
 
 
-def _proj_jacobians(pc, K, bf):
-    """d(u,v,ur)/d pc for camera-frame points pc (..., 3)."""
-    fx, fy, _, _ = K
-    x, y, z = pc[..., 0], pc[..., 1], jnp.maximum(pc[..., 2], 1e-6)
-    z2 = z * z
-    zero = jnp.zeros_like(x)
-    row_u = jnp.stack([fx / z, zero, -fx * x / z2], axis=-1)
-    row_v = jnp.stack([zero, fy / z, -fy * y / z2], axis=-1)
-    row_r = jnp.stack([fx / z, zero, -fx * x / z2 + bf / z2], axis=-1)
-    return jnp.stack([row_u, row_v, row_r], axis=-2)  # (..., 3, 3)
+def build_point_tables(m, all_kfs: List[int], Kt: int, pt_ids: np.ndarray,
+                       cfg: SystemConfig) -> Tuple[PointTables, np.ndarray]:
+    """Vectorized observation-table gather (no per-feature Python loops)."""
+    F = cfg.orb.max_keypoints
+    slot_lut = np.full(m.pt_xyz.shape[0], -1, np.int32)
+    slot_lut[pt_ids] = np.arange(len(pt_ids), dtype=np.int32)
+    kf_arr = np.asarray(all_kfs)
+    rows = m.kf_pt_idx[kf_arr]                       # (Kr, F)
+    obs_slot = np.where(rows >= 0, slot_lut[np.clip(rows, 0, None)], -1)
+    s2 = (1.0 / cfg.orb.scale_factor ** (
+        2 * np.arange(cfg.orb.n_levels))).astype(np.float32)
+    obs_uv = m.kf_uv[kf_arr].astype(np.float32)
+    obs_ur = np.where(obs_slot >= 0, m.kf_ur[kf_arr], -1.0).astype(np.float32)
+    obs_is2 = s2[m.kf_level[kf_arr]].astype(np.float32)
+
+    def pad(a, fill):
+        out = np.full((Kt,) + a.shape[1:], fill, a.dtype)
+        out[:len(kf_arr)] = a
+        return out
+
+    obs_slot = pad(obs_slot, -1)
+    tables = PointTables(
+        slot=jnp.asarray(obs_slot),
+        uv=jnp.asarray(pad(obs_uv, 0.0)),
+        ur=jnp.asarray(pad(obs_ur, -1.0)),
+        inv_s2=jnp.asarray(pad(obs_is2, 1.0)),
+        mask=jnp.asarray((obs_slot >= 0).astype(np.float32)))
+    return tables, obs_slot
 
 
-@partial(jax.jit, static_argnames=("n_iters", "huber"))
-def _ba_iterate(kf_pose, kf_fixed_mask, pt_xyz, obs_pt_slot, obs_uv, obs_ur,
-                obs_inv_s2, obs_mask, K, bf, n_iters=5, huber=True,
-                damping=1e-4, pose_prior=10.0):
-    """Core point-BA iterations.
+def build_line_tables(m, all_kfs: List[int], Kt: int, ln_ids: np.ndarray,
+                      n_xyz_pts: int, cfg: SystemConfig
+                      ) -> Tuple[LineTables, np.ndarray]:
+    """Line-endpoint tables: map line id -> two xyz landmark slots appended
+    after the points (start = n_pts + 2i, end = n_pts + 2i + 1)."""
+    L = cfg.lines.max_lines
+    slot_lut = np.full(m.ln_sw.shape[0], -1, np.int32)
+    slot_lut[ln_ids] = np.arange(len(ln_ids), dtype=np.int32)
+    kf_arr = np.asarray(all_kfs)
+    rows = m.kf_ln_idx[kf_arr]                       # (Kr, L)
+    lslot = np.where(rows >= 0, slot_lut[np.clip(rows, 0, None)], -1)
+    # two endpoint observations per detected line, same image-line equation
+    ep_slot = np.full((len(kf_arr), 2 * L), -1, np.int32)
+    ep_slot[:, 0::2] = np.where(lslot >= 0, n_xyz_pts + 2 * lslot, -1)
+    ep_slot[:, 1::2] = np.where(lslot >= 0, n_xyz_pts + 2 * lslot + 1, -1)
+    line2d = np.repeat(m.kf_ln_line2d[kf_arr], 2, axis=1).astype(np.float32)
 
-    kf_pose: (Kt, 4, 4) poses for local+fixed KFs (fixed ones masked);
-    pt_xyz: (P, 3); obs_*: (Kt, F) tables with obs_pt_slot in [-1, P).
-    Returns (kf_pose', pt_xyz', per-obs chi2).
+    def pad(a, fill):
+        out = np.full((Kt,) + a.shape[1:], fill, a.dtype)
+        out[:len(kf_arr)] = a
+        return out
 
-    pose_prior: weight of a weak quadratic prior pulling each free pose
-    toward its INITIAL estimate. BA of a sparsely-connected keyframe chain
-    has near-nullspace deformation modes (the whole structure drifts with
-    almost no reprojection cost when the single gauge keyframe has few
-    observations); the prior — negligible against any real observation
-    signal (~1e4x smaller than a typical pose Hessian diagonal) — pins those
-    modes without biasing well-constrained corrections.
-    """
-    Kt = kf_pose.shape[0]
-    P = pt_xyz.shape[0]
-    fx, fy, cx, cy = K
+    ep_slot = pad(ep_slot, -1)
+    tables = LineTables(
+        slot=jnp.asarray(ep_slot),
+        line2d=jnp.asarray(pad(line2d, 0.0)),
+        inv_s2=jnp.ones((Kt, 2 * L), jnp.float32),
+        mask=jnp.asarray((ep_slot >= 0).astype(np.float32)))
+    return tables, ep_slot
 
-    slot = jnp.clip(obs_pt_slot, 0, P - 1)
-    is_stereo = obs_ur >= 0
-    gate = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
 
-    def residual_chi2(poses, pts):
-        xw = pts[slot]                               # (Kt, F, 3)
-        R = poses[:, :3, :3]
-        t = poses[:, :3, 3]
-        pc = jnp.einsum("kij,kfj->kfi", R, xw) + t[:, None, :]
-        z = jnp.maximum(pc[..., 2], 1e-6)
-        u = fx * pc[..., 0] / z + cx
-        v = fy * pc[..., 1] / z + cy
-        ur = u - bf / z
-        r = jnp.stack([obs_uv[..., 0] - u, obs_uv[..., 1] - v,
-                       jnp.where(is_stereo, obs_ur - ur, 0.0)], axis=-1)
-        chi2 = jnp.sum(r * r, axis=-1) * obs_inv_s2
-        return r, chi2, pc, R
+def build_plane_tables(m, all_kfs: List[int], Kt: int, pl_ids: np.ndarray,
+                       cfg: SystemConfig):
+    """Direct/parallel/vertical plane observation tables.
 
-    def robust_cost(chi2):
-        rho = jnp.where(chi2 > gate,
-                        2 * jnp.sqrt(gate * jnp.clip(chi2, 1e-12, None)) - gate,
-                        chi2) if huber else chi2
-        return jnp.sum(rho * obs_mask)
+    The observed camera-frame coefficients come from the KF's stored
+    per-frame plane detections (kf_pl_coeffs)."""
+    Pp = cfg.planes.max_planes
+    slot_lut = np.full(m.pl_coeffs.shape[0], -1, np.int32)
+    slot_lut[pl_ids] = np.arange(len(pl_ids), dtype=np.int32)
+    kf_arr = np.asarray(all_kfs)
 
-    def step(state, _):
-        poses, pts, damping, cost_prev = state
-        r, chi2, pc, R = residual_chi2(poses, pts)
-        w_huber = jnp.where(chi2 > gate,
-                            jnp.sqrt(gate / jnp.clip(chi2, 1e-12, None)), 1.0)
-        if not huber:
-            w_huber = jnp.ones_like(w_huber)
-        w = obs_inv_s2 * w_huber * obs_mask  # (Kt, F)
-        dim_mask = jnp.stack([jnp.ones_like(w), jnp.ones_like(w),
-                              is_stereo.astype(w.dtype)], axis=-1)
-        W = w[..., None] * dim_mask  # per-dim weights (Kt, F, 3)
+    def table_for(idx_table):
+        rows = idx_table[kf_arr]                     # (Kr, Pp)
+        slot = np.where(rows >= 0, slot_lut[np.clip(rows, 0, None)], -1)
+        pi_obs = m.kf_pl_coeffs[kf_arr].astype(np.float32)
+        out_slot = np.full((Kt, Pp), -1, np.int32)
+        out_slot[:len(kf_arr)] = slot
+        out_pi = np.zeros((Kt, Pp, 4), np.float32)
+        out_pi[:len(kf_arr)] = pi_obs
+        # planes with zero coeffs (no detection in that frame slot) invalid
+        has_obs = (np.abs(out_pi).sum(-1) > 1e-6) & (out_slot >= 0)
+        out_slot = np.where(has_obs, out_slot, -1)
+        return PlaneTables(slot=jnp.asarray(out_slot),
+                           pi_obs=jnp.asarray(out_pi),
+                           mask=jnp.asarray(has_obs.astype(np.float32))), \
+            out_slot
 
-        dh = _proj_jacobians(pc, K, bf)  # (Kt, F, 3, 3) d(meas)/dpc
-        # residual r = z - h  =>  J = -dh * d pc/d param
-        # pose (left-mult): dpc/d[rho,phi] = [I | -hat(pc)]
-        hat_pc = se3.hat(pc)  # (Kt, F, 3, 3)
-        Jpose = jnp.concatenate([-dh, dh @ hat_pc], axis=-1)  # (Kt, F, 3, 6)
-        Jpt = -dh @ R[:, None]  # (Kt, F, 3, 3)
-
-        rw = r * W
-        # camera blocks
-        Hcc = jnp.einsum("kfai,kfa,kfaj->kij", Jpose, W, Jpose)  # (Kt, 6, 6)
-        bc = jnp.einsum("kfai,kfa->ki", Jpose, rw)               # (Kt, 6)
-        # point blocks via scatter over slots
-        Hpp_e = jnp.einsum("kfai,kfa,kfaj->kfij", Jpt, W, Jpt)
-        bp_e = jnp.einsum("kfai,kfa->kfi", Jpt, rw)
-        flat_slot = slot.reshape(-1)
-        Hpp = jax.ops.segment_sum(Hpp_e.reshape(-1, 3, 3), flat_slot, P)
-        bp = jax.ops.segment_sum(bp_e.reshape(-1, 3), flat_slot, P)
-        # coupling: Hcp[k, p] = sum_f Jpose^T W Jpt
-        Hcp_e = jnp.einsum("kfai,kfa,kfaj->kfij", Jpose, W, Jpt)  # (Kt,F,6,3)
-        kf_ids = jnp.broadcast_to(
-            jnp.arange(Kt)[:, None], slot.shape).reshape(-1)
-        pair_id = kf_ids * P + flat_slot
-        Hcp = jax.ops.segment_sum(Hcp_e.reshape(-1, 6, 3), pair_id,
-                                  Kt * P).reshape(Kt, P, 6, 3)
-
-        # Marquardt damping on the point blocks; tiny ridge keeps
-        # unobserved (all-zero) slots invertible
-        Hpp_d = Hpp + damping * jax.vmap(jnp.diag)(
-            jax.vmap(jnp.diag)(Hpp)) + 1e-6 * jnp.eye(3)
-        Hpp_inv = jnp.linalg.inv(Hpp_d)
-
-        free = (1.0 - kf_fixed_mask)  # (Kt,)
-        # Schur: S = Hcc - Hcp Hpp^-1 Hcp^T (camera-camera coupling via pts)
-        HcpHinv = jnp.einsum("kpij,pjl->kpil", Hcp, Hpp_inv)  # (Kt,P,6,3)
-        S_blocks = jnp.einsum("kpil,qpml->kqim", HcpHinv, Hcp)  # (Kt,Kt,6,6)
-        S = (jnp.zeros((Kt, Kt, 6, 6))
-             .at[jnp.arange(Kt), jnp.arange(Kt)].set(Hcc)) - S_blocks
-        rhs = bc - jnp.einsum("kpil,pl->ki", HcpHinv, bp)
-
-        S_mat = S.transpose(0, 2, 1, 3).reshape(Kt * 6, Kt * 6)
-        diag_pen = (jnp.repeat(kf_fixed_mask, 6) * 1e10 + damping
-                    + pose_prior)
-        S_mat = S_mat + jnp.diag(diag_pen) + damping * jnp.diag(jnp.diag(S_mat))
-        # prior gradient: pull toward the initial poses
-        xi_dev = jax.vmap(se3.se3_log)(
-            poses @ jax.vmap(se3.T_inv)(kf_pose))  # (Kt, 6)
-        rhs_p = rhs + pose_prior * xi_dev
-        dxc = -jnp.linalg.solve(S_mat, rhs_p.reshape(-1)).reshape(Kt, 6)
-        dxc = dxc * free[:, None]
-        # back-substitute points
-        dxp = -jnp.einsum("pij,pj->pi", Hpp_inv,
-                          bp + jnp.einsum("kpij,ki->pj", Hcp, dxc))
-
-        poses_new = jax.vmap(se3.se3_exp)(dxc) @ poses
-        pts_new = pts + dxp
-
-        # LM accept/reject: keep the step only if the robust cost drops
-        _, chi2_new, _, _ = residual_chi2(poses_new, pts_new)
-        def prior_cost(p):
-            dev = jax.vmap(se3.se3_log)(p @ jax.vmap(se3.T_inv)(kf_pose))
-            return pose_prior * jnp.sum(dev * dev)
-
-        cost_new = robust_cost(chi2_new) + prior_cost(poses_new)
-        cost_cur = robust_cost(chi2) + prior_cost(poses)
-        finite = (jnp.isfinite(cost_new) & jnp.all(jnp.isfinite(dxc))
-                  & jnp.all(jnp.isfinite(dxp)))
-        accept = (cost_new < cost_cur) & finite
-        poses_out = jnp.where(accept, poses_new, poses)
-        pts_out = jnp.where(accept, pts_new, pts)
-        damping_out = jnp.clip(jnp.where(accept, damping * 0.5,
-                                         damping * 8.0), 1e-6, 1e4)
-        return (poses_out, pts_out, damping_out,
-                jnp.where(accept, cost_new, cost_cur)), chi2
-
-    init = (kf_pose, pt_xyz, jnp.float32(damping), jnp.float32(jnp.inf))
-    (poses, pts, _, _), chis = jax.lax.scan(step, init, None, length=n_iters)
-    # final chi2 at the output state
-    _, chi2_final, _, _ = residual_chi2(poses, pts)
-    return poses, pts, chi2_final
+    direct, direct_slot = table_for(m.kf_pl_idx)
+    par, _ = table_for(m.kf_pl_par_idx)
+    ver, _ = table_for(m.kf_pl_ver_idx)
+    return direct, par, ver, direct_slot
 
 
 def local_bundle_adjustment(slam_map, kf: int, cfg: SystemConfig) -> None:
     """Gather the local window from the map, run the two-stage schedule,
-    write back poses/points and erase outlier observations."""
+    write back poses/points/lines/planes and erase outlier observations."""
     m = slam_map
     K = (cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy)
     bf = cfg.camera.bf
+    w = BAWeights.from_config(cfg.planes)
 
     local = [kf] + [int(c) for c in m.covisible_kfs(kf)[:MAX_LOCAL_KF - 1]]
     local = [k for k in local if m.kf_valid[k]]
     pt_ids = m.local_map_points(np.asarray(local), cap=MAX_LOCAL_PTS)
     if len(pt_ids) < 30 or len(local) < 2:
         return
-    pt_slot = {int(p): i for i, p in enumerate(pt_ids)}
+    ln_ids = m.local_map_lines(np.asarray(local), cap=MAX_LOCAL_LNS)
+    pl_rows = m.kf_pl_idx[np.asarray(local)]
+    pl_ids = np.unique(pl_rows[pl_rows >= 0])
+    pl_ids = pl_ids[m.pl_valid[pl_ids]][:MAX_LOCAL_PLS]
 
-    # fixed KFs: observe local points but are not local (cap)
+    # fixed KFs: observe local points but are not local (reference adds all
+    # observers as fixed vertices, `src/Optimizer.cc:1894`)
     fixed = []
     for other in m.valid_kf_ids():
         if int(other) in local:
@@ -217,10 +161,7 @@ def local_bundle_adjustment(slam_map, kf: int, cfg: SystemConfig) -> None:
             fixed.append(int(other))
         if len(fixed) >= MAX_FIXED_KF:
             break
-    # KF0 is always gauge-fixed if local
     all_kfs = local + fixed
-    # pad the KF dimension to a fixed size (dummy fixed KFs with no obs) so
-    # the jitted core compiles once
     Kt = MAX_LOCAL_KF + MAX_FIXED_KF
     n_real = len(all_kfs)
     fixed_mask = np.ones(Kt, np.float32)  # dummies fixed
@@ -229,68 +170,96 @@ def local_bundle_adjustment(slam_map, kf: int, cfg: SystemConfig) -> None:
     if fixed_mask[:n_real].sum() == 0:
         fixed_mask[int(np.argmin(local))] = 1.0  # gauge
 
-    F = cfg.orb.max_keypoints
-    P = len(pt_ids)
-    obs_slot = np.full((Kt, F), -1, np.int32)
-    obs_uv = np.zeros((Kt, F, 2), np.float32)
-    obs_ur = np.full((Kt, F), -1.0, np.float32)
-    obs_is2 = np.ones((Kt, F), np.float32)
-    s2 = (1.0 / cfg.orb.scale_factor ** (
-        2 * np.arange(cfg.orb.n_levels))).astype(np.float32)
-    for i, k in enumerate(all_kfs):
-        row = m.kf_pt_idx[k]
-        for f in np.flatnonzero(row >= 0):
-            p = int(row[f])
-            if p in pt_slot:
-                obs_slot[i, f] = pt_slot[p]
-                obs_uv[i, f] = m.kf_uv[k, f]
-                obs_ur[i, f] = m.kf_ur[k, f]
-                obs_is2[i, f] = s2[m.kf_level[k, f]]
-    obs_mask = (obs_slot >= 0).astype(np.float32)
+    pt_tab, obs_slot = build_point_tables(m, all_kfs, Kt, pt_ids, cfg)
+    # landmark layout: [points | line endpoints] then plane blocks
+    P_pts = MAX_LOCAL_PTS
+    ln_tab, ep_slot = build_line_tables(m, all_kfs, Kt, ln_ids, P_pts, cfg)
+    pl_tab, par_tab, ver_tab, pl_slot_tbl = build_plane_tables(
+        m, all_kfs, Kt, pl_ids, cfg)
 
-    pts0 = m.pt_xyz[pt_ids].astype(np.float32)
+    P_total = P_pts + 2 * MAX_LOCAL_LNS
+    lm = np.zeros((P_total, 3), np.float32)
+    lm[:len(pt_ids)] = m.pt_xyz[pt_ids]
+    lm[P_pts + 0:P_pts + 2 * len(ln_ids):2] = m.ln_sw[ln_ids]
+    lm[P_pts + 1:P_pts + 2 * len(ln_ids):2] = m.ln_ew[ln_ids]
+    plane_base = np.zeros((MAX_LOCAL_PLS, 4), np.float32)
+    plane_base[:, 2] = 1.0  # harmless unit normal for padding slots
+    plane_base[:len(pl_ids)] = m.pl_coeffs[pl_ids]
+
     poses0 = np.tile(np.eye(4, dtype=np.float32), (Kt, 1, 1))
     poses0[:n_real] = m.kf_pose[all_kfs].astype(np.float32)
 
-    # pad the point dimension for stable compile shapes
-    P_pad = MAX_LOCAL_PTS
-    pts_p = np.zeros((P_pad, 3), np.float32)
-    pts_p[:P] = pts0
-    slot_p = np.where(obs_slot >= 0, obs_slot, -1)
-
     # stage 1: 5 iters with Huber
-    poses1, pts1, chi2 = _ba_iterate(
-        jnp.asarray(poses0), jnp.asarray(fixed_mask), jnp.asarray(pts_p),
-        jnp.asarray(slot_p), jnp.asarray(obs_uv), jnp.asarray(obs_ur),
-        jnp.asarray(obs_is2), jnp.asarray(obs_mask), K, bf, n_iters=5)
-    # outlier purge (reference erases obs with chi2 over the gate)
-    chi2 = np.asarray(chi2)
-    gate = np.where(obs_ur >= 0, CHI2_STEREO, CHI2_MONO)
-    inlier = (chi2 <= gate) | (obs_mask == 0)
-    obs_mask2 = obs_mask * inlier
+    poses1, lm1, planes1, chis = ba_solve(
+        jnp.asarray(poses0), jnp.asarray(fixed_mask), jnp.asarray(lm),
+        jnp.asarray(plane_base), pt_tab, ln_tab, pl_tab, par_tab, ver_tab,
+        K, bf, w, n_iters=5)
 
-    # stage 2: 10 iters
-    poses2, pts2, chi2b = _ba_iterate(
-        poses1, jnp.asarray(fixed_mask), pts1, jnp.asarray(slot_p),
-        jnp.asarray(obs_uv), jnp.asarray(obs_ur), jnp.asarray(obs_is2),
-        jnp.asarray(obs_mask2), K, bf, n_iters=10)
+    # outlier purge (reference two-stage schedule): drop observations over
+    # the per-type gates, then 10 more iterations without them
+    chi_pt = np.asarray(chis["pt"])
+    gate = np.where(np.asarray(pt_tab.ur) >= 0, CHI2_STEREO, CHI2_MONO)
+    pt_in = (chi_pt <= gate)
+    chi_ln = np.asarray(chis["ln"]).reshape(Kt, -1, 2).sum(-1)
+    ln_in = np.repeat(chi_ln <= 2 * CHI2_MONO, 2, axis=1)
+    pl_in = np.asarray(chis["pl"]) <= float(np.asarray(w.plane_chi))
+    par_in = np.asarray(chis["par"]) <= float(np.asarray(w.vp_chi))
+    ver_in = np.asarray(chis["ver"]) <= float(np.asarray(w.vp_chi))
+
+    def gated(t, keep):
+        return t._replace(mask=t.mask * jnp.asarray(keep.astype(np.float32)))
+
+    poses2, lm2, planes2, chis2 = ba_solve(
+        poses1, jnp.asarray(fixed_mask), lm1, planes1,
+        gated(pt_tab, pt_in), gated(ln_tab, ln_in), gated(pl_tab, pl_in),
+        gated(par_tab, par_in), gated(ver_tab, ver_in),
+        K, bf, w, n_iters=10)
 
     poses2 = np.asarray(poses2)
-    pts2 = np.asarray(pts2)
-    chi2b = np.asarray(chi2b)
+    lm2 = np.asarray(lm2)
+    planes2 = np.asarray(planes2)
 
-    # write back free poses + points
+    # write back free poses + landmarks
     for i, k in enumerate(all_kfs):
         if fixed_mask[i] == 0:
             m.kf_pose[k] = poses2[i]
-    m.pt_xyz[pt_ids] = pts2[:P]
+    m.pt_xyz[pt_ids] = lm2[:len(pt_ids)]
+    if len(ln_ids):
+        m.ln_sw[ln_ids] = lm2[P_pts + 0:P_pts + 2 * len(ln_ids):2]
+        m.ln_ew[ln_ids] = lm2[P_pts + 1:P_pts + 2 * len(ln_ids):2]
+    if len(pl_ids):
+        m.pl_coeffs[pl_ids] = planes2[:len(pl_ids)]
 
-    # erase outlier observations from association tables
-    bad = (chi2b > gate) & (obs_mask2 > 0)
-    for i, k in enumerate(all_kfs):
+    # erase outlier point observations from association tables (reference
+    # erases chi2-gated observations after the second stage, `:2380-2430`)
+    chi2b = np.asarray(chis2["pt"])
+    bad = (chi2b > gate) & (np.asarray(pt_tab.mask) > 0)
+    for i, k in enumerate(all_kfs[:n_real]):
         fbad = np.flatnonzero(bad[i])
         if len(fbad):
             pts_bad = m.kf_pt_idx[k, fbad]
             m.kf_pt_idx[k, fbad] = -1
             ok = pts_bad >= 0
             m.pt_nobs[pts_bad[ok]] -= 1
+
+
+def _ba_iterate(kf_pose, kf_fixed_mask, pt_xyz, obs_pt_slot, obs_uv, obs_ur,
+                obs_inv_s2, obs_mask, K, bf, n_iters=5, huber=True,
+                damping=1e-4, pose_prior=0.0):
+    """Compatibility wrapper over ba_core.ba_solve (points only).
+
+    Kept for tests and callers of the round-1 core; pose_prior is accepted
+    but ignored — gauge handling is exact in ba_core (fixed poses
+    eliminated), the prior band-aid is gone."""
+    Kt = kf_pose.shape[0]
+    pt_tab = PointTables(slot=obs_pt_slot, uv=obs_uv, ur=obs_ur,
+                         inv_s2=obs_inv_s2,
+                         mask=obs_mask * (obs_pt_slot >= 0))
+    poses, lm, _, chis = ba_solve(
+        kf_pose, kf_fixed_mask, pt_xyz, jnp.zeros((0, 4), jnp.float32),
+        pt_tab, ba_core.empty_line_tables(Kt), ba_core.empty_plane_tables(Kt),
+        ba_core.empty_plane_tables(Kt), ba_core.empty_plane_tables(Kt),
+        tuple(float(v) for v in K), float(bf),
+        BAWeights.from_config(PlaneConfig()),
+        n_iters=n_iters, huber=huber)
+    return poses, lm, chis["pt"]

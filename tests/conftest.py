@@ -19,6 +19,25 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The env vars above are ignored if an environment hook (TPU-tunnel
+# sitecustomize) already overrode jax_platforms programmatically at
+# interpreter start; config.update wins while no backend is initialized.
+import jax  # noqa: E402
+
+try:
+    from jax._src import xla_bridge as _xb
+
+    if not _xb.backends_are_initialized():
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running tests (excluded from the quick tier)")
+
 
 @pytest.fixture(scope="session")
 def tiny_config():

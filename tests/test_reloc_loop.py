@@ -52,18 +52,33 @@ def test_relocalization_after_lost():
     from planarslam_tpu.slam.system import System
     from planarslam_tpu.slam.tracking import TrackingState
 
+    import dataclasses
+
     cfg = SystemConfig.tiny()
-    seq = synthetic.make_sequence(n_frames=14, width=cfg.camera.width,
+    # build a MATURE map (>5 KFs): losing with a young map now auto-resets
+    # the system like the reference (`src/Tracking.cc:403-408`) — see
+    # test_auto_reset_on_early_loss. The small synthetic room is too easy
+    # for the standard policy to need 6 KFs, so force dense insertion and
+    # keep redundancy culling out of the way (reloc is the test subject).
+    cfg = cfg.replace(tracking=dataclasses.replace(
+        cfg.tracking, max_frames_between_kf=4))
+    seq = synthetic.make_sequence(n_frames=40, width=cfg.camera.width,
                                   height=cfg.camera.height)
     slam = System(config=cfg)
-    for i in range(10):
+    slam.local_mapper._cull_keyframes = lambda kf: None
+    i = 0
+    # track until the map is mature (>5 valid KFs so LOST does not reset)
+    while i < len(seq) and (i < 12 or len(slam.map.valid_kf_ids()) <= 5):
         g, d = seq.render(i)
         slam.track_rgbd(g, d, seq.timestamps[i])
+        i += 1
     assert slam.get_tracking_state() == TrackingState.OK
+    assert len(slam.map.valid_kf_ids()) > 5
 
-    # kill tracking with garbage frames
+    # kill tracking with garbage frames (enough to drain the depth-2
+    # tracking pipeline so the failures are actually processed)
     rng = np.random.default_rng(0)
-    for j in range(2):
+    for j in range(4):
         noise = rng.uniform(0, 255, (cfg.camera.height, cfg.camera.width)
                             ).astype(np.float32)
         slam.track_rgbd(noise, np.zeros_like(noise), 50.0 + j)
@@ -77,6 +92,41 @@ def test_relocalization_after_lost():
     err = np.linalg.norm(pose[:3, 3] - T_gt_cw[:3, 3])
     assert err < 0.05, f"reloc pose error {err}"
     assert slam.tracker.stats.get("relocalizations", 0) >= 1
+
+
+def test_auto_reset_on_early_loss():
+    """Kidnapped right after initialization: with a YOUNG map (<=5 KFs) the
+    reference resets the whole system instead of spinning on relocalization
+    (`src/Tracking.cc:403-408`); the next clean frames must re-initialize
+    and track (VERDICT round-1 item 9 acceptance)."""
+    from planarslam_tpu.io import synthetic
+    from planarslam_tpu.slam.system import System
+    from planarslam_tpu.slam.tracking import TrackingState
+
+    cfg = SystemConfig.tiny()
+    seq = synthetic.make_sequence(n_frames=14, width=cfg.camera.width,
+                                  height=cfg.camera.height)
+    slam = System(config=cfg)
+    for i in range(3):
+        g, d = seq.render(i)
+        slam.track_rgbd(g, d, seq.timestamps[i])
+    assert len(slam.map.valid_kf_ids()) <= 5  # young map -> reset territory
+
+    rng = np.random.default_rng(0)
+    for j in range(3):
+        noise = rng.uniform(0, 255, (cfg.camera.height, cfg.camera.width)
+                            ).astype(np.float32)
+        slam.track_rgbd(noise, np.zeros_like(noise), 50.0 + j)
+    # system reset: fresh map, not stuck in LOST
+    assert slam.get_tracking_state() != TrackingState.LOST
+    assert len(slam.map.valid_kf_ids()) == 0
+
+    # clean frames re-initialize and track again
+    for i in range(3, 10):
+        g, d = seq.render(i)
+        slam.track_rgbd(g, d, seq.timestamps[i])
+    assert slam.get_tracking_state() == TrackingState.OK
+    assert len(slam.map.valid_kf_ids()) >= 1
 
 
 def test_loop_closing_on_loop_sequence():
