@@ -23,7 +23,7 @@ import time
 
 import numpy as np
 
-N_FRAMES = 60
+N_FRAMES = 96
 WARMUP = 5
 BASELINE_FPS = 30.0  # reference real-time operating point (see module doc)
 
@@ -49,6 +49,7 @@ def main() -> None:
 
     frames = [quantize(*seq.render(i)) for i in range(N_FRAMES)]
 
+    # ---- streaming mode (per-frame pipeline, reference-like latency) ----
     slam = System(config=cfg)
     times, feat_times, track_times = [], [], []
     for i, (gray, depth) in enumerate(frames):
@@ -57,12 +58,54 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
         feat_times.append(slam.tracker.last_feature_time)
         track_times.append(slam.tracker.last_track_time)
+    slam.shutdown()
 
     t = np.asarray(times[WARMUP:])
-    median_ms = float(np.median(t) * 1e3)
-    fps = 1e3 / median_ms
+    stream_median_ms = float(np.median(t) * 1e3)
+    stream_fps = 1e3 / stream_median_ms
+    est_s = slam.frame_poses_wc()
+    ate = ate_rmse(est_s[:, :3, 3], seq.poses_wc[:len(est_s), :3, 3])
+    stream_kfs = int(slam.map.n_kf)
+    stream_pts = int(slam.map.pt_valid.sum())
+
+    # ---- chunked throughput mode (C frames per device program) ----------
+    # The metric of record: full SLAM over the same sequence with the
+    # device transactions amortized over CHUNK-frame chunks (pose output
+    # lags <= 2*CHUNK frames; ATE is measured on THIS run, proving quality
+    # holds). The host<->chip tunnel's per-transaction service time (highly
+    # load-dependent, measured 2-60 ms for the SAME program) dominates the
+    # ~0.3 ms/frame of actual device compute, so throughput scales with
+    # transactions-per-frame, not FLOPs.
+    import dataclasses
+
+    CHUNK = 8
+    cfg_c = cfg.replace(tracking=dataclasses.replace(cfg.tracking,
+                                                     chunk_size=CHUNK))
+    slam = System(config=cfg_c)
+    times_c = []
+    for i, (gray, depth) in enumerate(frames):
+        t0 = time.perf_counter()
+        slam.track_rgbd(gray, depth, seq.timestamps[i])
+        times_c.append(time.perf_counter() - t0)
+    slam.shutdown()
+    # steady-state throughput: wall time of the LAST 2/3 of the sequence
+    # (the first chunk dispatch compiles fused_track_chunk; per-call times
+    # alternate between buffering (~0) and dispatch+drain frames, so the
+    # windowed MEAN is the meaningful per-frame cost, not the median)
+    tc = np.asarray(times_c[N_FRAMES // 3:])
+    chunk_ms = float(tc.mean() * 1e3)
+    chunk_fps = 1e3 / chunk_ms
     est = slam.frame_poses_wc()
-    ate = ate_rmse(est[:, :3, 3], seq.poses_wc[:, :3, 3])
+    chunk_ate = ate_rmse(est[:, :3, 3], seq.poses_wc[:len(est), :3, 3])
+
+    # headline: the streaming per-frame pipeline (the reference's own
+    # protocol: per-frame tracking latency, `Examples/RGB-D/main.cc:108`);
+    # the chunked throughput mode is reported alongside — on this tunnel the
+    # per-transaction service time varies 2-60 ms run to run, so whichever
+    # mode wins a given run is environment noise, and the streaming number
+    # is the apples-to-apples one.
+    median_ms = stream_median_ms
+    fps = stream_fps
 
     result = {
         "metric": "tracking_fps_per_chip",
@@ -70,8 +113,13 @@ def main() -> None:
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "detail": {
+            "mode": "streaming (per-frame pipeline, depth 2)",
             "median_ms_per_frame": round(median_ms, 3),
-            "mean_ms_per_frame": round(float(t.mean() * 1e3), 3),
+            "chunked_fps": round(chunk_fps, 2),
+            "chunked_mean_ms_per_frame": round(chunk_ms, 3),
+            "chunked_ate_rmse_m": round(float(chunk_ate), 5),
+            "chunked_mode": f"x{CHUNK} frames per device program, pose "
+                            f"latency <= {2 * CHUNK} frames",
             # Feature/Track split protocol (`src/Tracking.cc:189-198`): the
             # fused pipeline runs extraction+tracking as ONE device program,
             # so feature_ms is the CALIBRATED latency of the extraction-only
@@ -85,8 +133,8 @@ def main() -> None:
             "ate_rmse_m": round(float(ate), 5),
             "n_frames": N_FRAMES,
             "resolution": [cfg.camera.width, cfg.camera.height],
-            "keyframes": int(slam.map.n_kf),
-            "map_points": int(slam.map.pt_valid.sum()),
+            "keyframes": stream_kfs,
+            "map_points": stream_pts,
             "baseline": "reference real-time operating point 30 fps "
                         "(README.md:53, TUM3.yaml Camera.fps)",
         },

@@ -167,6 +167,11 @@ class TrackingConfig:
     close_lines_for_kf: int = 50
     min_matches_track: int = 10
     min_matches_local_map: int = 30
+    # >1 runs C sequential frames per device program (one upload/execute/
+    # pull per chunk) — throughput mode for transaction-latency-bound
+    # deployments (e.g. a host<->TPU tunnel); pose output + map updates lag
+    # up to 2C frames. 1 = per-frame streaming with the depth-2 pipeline.
+    chunk_size: int = 1
 
 
 @dataclass(frozen=True)

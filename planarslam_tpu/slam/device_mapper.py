@@ -38,12 +38,17 @@ class MappingLayout:
 
     def __init__(self, cfg: SystemConfig):
         K = cfg.orb.max_keypoints
+        L = cfg.lines.max_lines
         NB = N_NEIGHBORS
         self.fields = [
             ("fuse_idx", (NB, K), np.int32),   # own-landmark slot -> nb feat
             ("tri_idx", (NB, K), np.int32),    # own feat -> nb feat
             ("tri_x", (NB, K, 3), np.float32),  # triangulated world point
             ("tri_good", (NB, K), np.int32),   # acceptance mask
+            ("ln_tri_idx", (NB, L), np.int32),  # own line -> nb line
+            ("ln_tri_s", (NB, L, 3), np.float32),  # start endpoint (world)
+            ("ln_tri_e", (NB, L, 3), np.float32),  # end endpoint (world)
+            ("ln_tri_good", (NB, L), np.int32),
         ]
         self.sizes = [int(np.prod(s)) for _, s, _ in self.fields]
         self.total = sum(self.sizes)
@@ -80,6 +85,18 @@ def mapping_step(
     nb_ur: jnp.ndarray,         # (NB, K)
     nb_free: jnp.ndarray,       # (NB, K) bool
     nb_ok: jnp.ndarray,         # (NB,) bool neighbor slot is real
+    # own-KF / neighbor line data (line triangulation,
+    # reference CreateNewMapLines2 `src/LocalMapping.cc:800`)
+    own_ln_uvs: jnp.ndarray,    # (L, 2)
+    own_ln_uve: jnp.ndarray,    # (L, 2)
+    own_ln_l2d: jnp.ndarray,    # (L, 3)
+    own_ln_desc: jnp.ndarray,   # (L, D)
+    own_ln_angle: jnp.ndarray,  # (L,)
+    own_ln_free: jnp.ndarray,   # (L,) bool: valid, unassociated, no 3D lift
+    nb_ln_l2d: jnp.ndarray,     # (NB, L, 3)
+    nb_ln_desc: jnp.ndarray,    # (NB, L, D)
+    nb_ln_angle: jnp.ndarray,   # (NB, L)
+    nb_ln_free: jnp.ndarray,    # (NB, L) bool
     cfg: SystemConfig,
 ) -> jnp.ndarray:
     cam = cfg.camera
@@ -153,6 +170,62 @@ def mapping_step(
     tri_idx, tri_x, tri_good = jax.vmap(tri_one)(
         nb_T, nb_uv, nb_desc, nb_level, nb_free, nb_ok)
 
+    # ---- line triangulation (CreateNewMapLines2, `LocalMapping.cc:800`) ---
+    # each 2D segment back-projects to a plane through its camera center
+    # (pi = P^T l); two views' planes intersect in the 3D line; the own
+    # segment's endpoint RAYS cut the neighbor's plane at the endpoints.
+    Rw1 = own_T[:3, :3]
+    C1 = -Rw1.T @ own_T[:3, 3]
+    Kinv = jnp.linalg.inv(Kmat)
+
+    def ray_dir(uv):  # world-frame ray directions for own pixels (L, 2)
+        h = jnp.concatenate([uv, jnp.ones_like(uv[:, :1])], axis=-1)
+        return (Kinv @ h.T).T @ Rw1  # (L, 3): R1^T K^-1 u
+
+    d_s = ray_dir(own_ln_uvs)
+    d_e = ray_dir(own_ln_uve)
+
+    def ln_tri_one(T, l2d_nb, desc_nb, ang_nb, free_nb, ok):
+        sim = own_ln_desc @ desc_nb.T
+        gate = own_ln_free[:, None] & free_nb[None, :] & ok
+        sim = jnp.where(gate, sim, -1.0)
+        idx = jnp.argmax(sim, axis=1)
+        has = jnp.max(sim, axis=1) > 0.75
+        j = jnp.clip(idx, 0, l2d_nb.shape[0] - 1)
+        # neighbor back-projection plane pi2 = (K P2)^T l2  (4-vector)
+        P2 = Kmat @ T[:3]
+        pi2 = (P2.T @ l2d_nb[j][..., None])[..., 0]  # (L, 4)
+        n2 = pi2[:, :3]
+        # own back-projection plane normal (for the parallax gate)
+        P1w = Kmat @ own_T[:3]
+        pi1 = (P1w.T @ own_ln_l2d[..., None])[..., 0]
+        cosp = jnp.abs(jnp.sum(pi1[:, :3] * n2, axis=-1)) / (
+            jnp.linalg.norm(pi1[:, :3], axis=-1)
+            * jnp.linalg.norm(n2, axis=-1) + 1e-12)
+
+        def cut(dirs):
+            denom = jnp.sum(n2 * dirs, axis=-1)
+            t = -(n2 @ C1 + pi2[:, 3]) / jnp.where(
+                jnp.abs(denom) < 1e-9, 1e-9, denom)
+            return C1[None, :] + t[:, None] * dirs, t
+
+        Xs, ts = cut(d_s)
+        Xe, te = cut(d_e)
+        # depth in the own camera + sane segment length
+        zs = (Xs @ Rw1.T)[:, 2] + own_T[2, 3]
+        ze = (Xe @ Rw1.T)[:, 2] + own_T[2, 3]
+        seg = jnp.linalg.norm(Xe - Xs, axis=-1)
+        good = (has & (cosp < 0.998)             # parallax >= ~3.6 deg
+                & (ts > 0) & (te > 0)
+                & (zs > 0.1) & (zs < 40.0) & (ze > 0.1) & (ze < 40.0)
+                & (seg > 0.05) & (seg < 20.0)
+                & jnp.all(jnp.isfinite(Xs), axis=-1)
+                & jnp.all(jnp.isfinite(Xe), axis=-1))
+        return idx, Xs, Xe, good
+
+    ln_tri_idx, ln_tri_s, ln_tri_e, ln_tri_good = jax.vmap(ln_tri_one)(
+        nb_T, nb_ln_l2d, nb_ln_desc, nb_ln_angle, nb_ln_free, nb_ok)
+
     parts = [
         jax.lax.bitcast_convert_type(fuse_idx.astype(jnp.int32),
                                      jnp.float32).reshape(-1),
@@ -160,6 +233,12 @@ def mapping_step(
                                      jnp.float32).reshape(-1),
         tri_x.astype(jnp.float32).reshape(-1),
         jax.lax.bitcast_convert_type(tri_good.astype(jnp.int32),
+                                     jnp.float32).reshape(-1),
+        jax.lax.bitcast_convert_type(ln_tri_idx.astype(jnp.int32),
+                                     jnp.float32).reshape(-1),
+        ln_tri_s.astype(jnp.float32).reshape(-1),
+        ln_tri_e.astype(jnp.float32).reshape(-1),
+        jax.lax.bitcast_convert_type(ln_tri_good.astype(jnp.int32),
                                      jnp.float32).reshape(-1),
     ]
     del layout
@@ -253,6 +332,14 @@ def run_mapping_step(slam_map, kf: int, cfg: SystemConfig) -> dict:
     nb_free = ((m.kf_pt_idx[nb_ids_arr] < 0)
                & m.kf_feat_valid[nb_ids_arr]) & tri_ok[:, None]
 
+    # free lines: valid detections with neither a map-line association nor a
+    # depth-based 3D lift left to create (the depth path created those at KF
+    # insertion) — these are the CreateNewMapLines2 candidates
+    own_ln_row = m.kf_ln_idx[kf]
+    own_ln_free = (own_ln_row < 0) & m.kf_ln_valid[kf]
+    nb_ln_free = ((m.kf_ln_idx[nb_ids_arr] < 0)
+                  & m.kf_ln_valid[nb_ids_arr]) & tri_ok[:, None]
+
     packed = mapping_step(
         jnp.asarray(m.kf_pose[kf]), jnp.asarray(m.kf_uv[kf]),
         jnp.asarray(m.kf_desc[kf]), jnp.asarray(m.kf_level[kf]),
@@ -263,11 +350,19 @@ def run_mapping_step(slam_map, kf: int, cfg: SystemConfig) -> dict:
         jnp.asarray(m.kf_level[nb_ids_arr]),
         jnp.asarray(m.kf_feat_valid[nb_ids_arr]),
         jnp.asarray(m.kf_ur[nb_ids_arr]), jnp.asarray(nb_free),
-        jnp.asarray(nb_ok), cfg)
+        jnp.asarray(nb_ok),
+        jnp.asarray(m.kf_ln_uv_s[kf]), jnp.asarray(m.kf_ln_uv_e[kf]),
+        jnp.asarray(m.kf_ln_line2d[kf]), jnp.asarray(m.kf_ln_desc[kf]),
+        jnp.asarray(m.kf_ln_angle[kf]), jnp.asarray(own_ln_free),
+        jnp.asarray(m.kf_ln_line2d[nb_ids_arr]),
+        jnp.asarray(m.kf_ln_desc[nb_ids_arr]),
+        jnp.asarray(m.kf_ln_angle[nb_ids_arr]), jnp.asarray(nb_ln_free),
+        cfg)
     out = layout.unpack(np.asarray(packed))  # ONE sync
     out["nb_ids"] = nb_ids_arr
     out["nb_ok"] = nb_ok
     out["tri_ok"] = tri_ok
     out["own_free"] = own_free
+    out["own_ln_free"] = own_ln_free
     out["lm_valid"] = lm_valid
     return out

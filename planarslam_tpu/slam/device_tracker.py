@@ -233,10 +233,11 @@ def fused_track_step(
     R_wm: jnp.ndarray,          # (3, 3) world-from-Manhattan (identity if off)
     manh_enabled: jnp.ndarray,  # () bool
     last: LastState,
-    win: DeviceWindow,
+    win_flat: jnp.ndarray,      # packed window buffer (build_window)
     weights: pose_opt.PoseOptWeights,
     cfg: SystemConfig,
 ) -> StepResult:
+    win = unpack_window(win_flat, cfg)
     cam = cfg.camera
     K = (cam.fx, cam.fy, cam.cx, cam.cy)
     Kp = cfg.orb.max_keypoints
@@ -452,12 +453,95 @@ def fused_track_step(
                       new_state=_state_from(feats, T_out, new_vel, cfg))
 
 
-def build_window(slam_map, kf_ids: np.ndarray, cfg: SystemConfig
-                 ) -> Tuple[DeviceWindow, np.ndarray, np.ndarray]:
-    """Gather the local-map window from the host map and upload it.
+class ChunkResult(NamedTuple):
+    packed: jnp.ndarray       # (C, B) per-frame packed bundles
+    states: LastState         # leading (C, ...) per-frame states
+    final_state: LastState
 
-    Returns (window, pt_ids (WIN_PTS,), ln_ids (WIN_LNS,)) where the id
-    arrays map window slots back to map landmark ids (-1 for padding).
+
+@partial(jax.jit, static_argnames=("cfg",))
+def fused_track_chunk(
+    grays: jnp.ndarray,        # (C, H, W) native dtype
+    depths: jnp.ndarray,       # (C, H, W)
+    R_wm: jnp.ndarray,
+    manh_enabled: jnp.ndarray,
+    last: LastState,
+    win: jnp.ndarray,          # packed window buffer (build_window)
+    weights: pose_opt.PoseOptWeights,
+    cfg: SystemConfig,
+) -> ChunkResult:
+    """C sequential tracking frames as ONE device program.
+
+    The axon tunnel serializes host<->device transactions with a ~15 ms
+    per-program service time while the actual per-frame compute is ~0.3 ms
+    — throughput is transaction-bound, not compute-bound. Chunking divides
+    the per-frame transaction cost by C (one upload, one execute, one pull
+    per chunk). The local-map window is frozen for the chunk (like the
+    reference's asynchronous LocalMapping lag); the frame-to-frame carry
+    chains exactly as in per-frame mode. Pose overrides (loop corrections)
+    are applied to `last` on the host BEFORE dispatch, so the in-chunk step
+    never needs them."""
+    eye4 = jnp.eye(4, dtype=jnp.float32)
+    no = jnp.asarray(False)
+
+    def body(state, gd):
+        g, d = gd
+        res = fused_track_step(g, d, eye4, no, R_wm, manh_enabled, state,
+                               win, weights, cfg)
+        return res.new_state, (res.packed, res.new_state)
+
+    final_state, (packed, states) = jax.lax.scan(body, last, (grays, depths))
+    return ChunkResult(packed=packed, states=states, final_state=final_state)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def fused_track_chunk_packed(
+    frames_u8: jnp.ndarray,    # (C, 3, H, W) uint8: [gray, depth_lo, depth_hi]
+    R_wm: jnp.ndarray,
+    manh_enabled: jnp.ndarray,
+    last: LastState,
+    win: jnp.ndarray,          # packed window buffer (build_window)
+    weights: pose_opt.PoseOptWeights,
+    cfg: SystemConfig,
+) -> ChunkResult:
+    """fused_track_chunk over ONE packed upload: native uint8 gray and
+    uint16 depth byte-planes share a single (C, 3, H, W) uint8 buffer, so a
+    chunk costs one H2D transaction instead of two (the tunnel's
+    per-transaction service time dominates under load)."""
+    grays = frames_u8[:, 0]
+    depth16 = (frames_u8[:, 1].astype(jnp.uint16)
+               | (frames_u8[:, 2].astype(jnp.uint16) << 8))
+    return fused_track_chunk(grays, depth16, R_wm, manh_enabled, last, win,
+                             weights, cfg)
+
+
+def pack_chunk_frames(grays: list, depths: list):
+    """Host-side packing for fused_track_chunk_packed; returns None when the
+    raw dtypes are not the native uint8/uint16 sensor formats."""
+    if not all(g.dtype == np.uint8 for g in grays) \
+            or not all(d.dtype == np.uint16 for d in depths):
+        return None
+    C = len(grays)
+    H, W = grays[0].shape
+    out = np.empty((C, 3, H, W), np.uint8)
+    for i, (g, d) in enumerate(zip(grays, depths)):
+        out[i, 0] = g
+        dv = d.view(np.uint8).reshape(H, W, 2)
+        out[i, 1] = dv[..., 0]
+        out[i, 2] = dv[..., 1]
+    return out
+
+
+def build_window(slam_map, kf_ids: np.ndarray, cfg: SystemConfig
+                 ) -> Tuple[jnp.ndarray, np.ndarray, np.ndarray]:
+    """Gather the local-map window from the host map and upload it as ONE
+    packed uint8 buffer (a per-leaf upload costs ~14 tunnel transactions at
+    2-60 ms service time each on KF frames; the packed form costs one).
+    The fused step unpacks it device-side via unpack_window.
+
+    Returns (packed (bytes,) uint8 device array, pt_ids (WIN_PTS,),
+    ln_ids (WIN_LNS,)) where the id arrays map window slots back to map
+    landmark ids (-1 for padding).
     """
     m = slam_map
     pt_ids = m.local_map_points(kf_ids, cap=WIN_PTS)
@@ -468,24 +552,70 @@ def build_window(slam_map, kf_ids: np.ndarray, cfg: SystemConfig
     ln_pad[:len(ln_ids)] = ln_ids
     ip = np.clip(pt_pad, 0, None)
     il = np.clip(ln_pad, 0, None)
+    parts = [
+        m.pt_xyz[ip].astype(np.float32),
+        m.pt_desc[ip].view(np.float32),  # u32 bits as f32 (bitcast back)
+        m.pt_normal[ip].astype(np.float32),
+        m.pt_min_dist[ip].astype(np.float32),
+        m.pt_max_dist[ip].astype(np.float32),
+        (pt_pad >= 0).astype(np.float32),
+        m.ln_sw[il].astype(np.float32),
+        m.ln_ew[il].astype(np.float32),
+        m.ln_desc[il].astype(np.float32),
+        (ln_pad >= 0).astype(np.float32),
+        m.pl_coeffs.astype(np.float32),
+        _subsample_clouds_fixed(m).astype(np.float32),
+        np.minimum(m.pl_cloud_n, ASSOC_CLOUD).astype(np.float32),
+        m.pl_valid.astype(np.float32),
+    ]
+    flat = np.concatenate([p.reshape(-1) for p in parts])
+    return jnp.asarray(flat), pt_pad, ln_pad
+
+
+def unpack_window(flat: jnp.ndarray, cfg: SystemConfig) -> DeviceWindow:
+    """Device-side unpack of build_window's single packed buffer (traced
+    into the consuming program — costs no extra transaction)."""
+    W, Wl = WIN_PTS, WIN_LNS
+    Mp = cfg.map.max_planes  # MAP plane capacity, not the per-frame cap
     ld = cfg.lines.desc_dim
-    win = DeviceWindow(
-        pt_xyz=jnp.asarray(m.pt_xyz[ip]),
-        pt_desc=jnp.asarray(m.pt_desc[ip]),
-        pt_normal=jnp.asarray(m.pt_normal[ip]),
-        pt_min_d=jnp.asarray(m.pt_min_dist[ip]),
-        pt_max_d=jnp.asarray(m.pt_max_dist[ip]),
-        pt_valid=jnp.asarray(pt_pad >= 0),
-        ln_sw=jnp.asarray(m.ln_sw[il]),
-        ln_ew=jnp.asarray(m.ln_ew[il]),
-        ln_desc=jnp.asarray(m.ln_desc[il]),
-        ln_valid=jnp.asarray(ln_pad >= 0),
-        pl_coeffs=jnp.asarray(m.pl_coeffs),
-        pl_cloud=jnp.asarray(_subsample_clouds(m)),
-        pl_cloud_n=jnp.asarray(np.minimum(m.pl_cloud_n, ASSOC_CLOUD)),
-        pl_valid=jnp.asarray(m.pl_valid),
+    shapes = [
+        (W, 3), (W, 8), (W, 3), (W,), (W,), (W,),
+        (Wl, 3), (Wl, 3), (Wl, ld), (Wl,),
+        (Mp, 4), (Mp, ASSOC_CLOUD, 3), (Mp,), (Mp,),
+    ]
+    fields = []
+    off = 0
+    for shp in shapes:
+        n = int(np.prod(shp))
+        fields.append(flat[off:off + n].reshape(shp))
+        off += n
+    (pt_xyz, pt_desc_f, pt_normal, pt_min_d, pt_max_d, pt_valid_f,
+     ln_sw, ln_ew, ln_desc, ln_valid_f,
+     pl_coeffs, pl_cloud, pl_cloud_n_f, pl_valid_f) = fields
+    return DeviceWindow(
+        pt_xyz=pt_xyz,
+        pt_desc=jax.lax.bitcast_convert_type(pt_desc_f, jnp.uint32),
+        pt_normal=pt_normal, pt_min_d=pt_min_d, pt_max_d=pt_max_d,
+        pt_valid=pt_valid_f > 0.5,
+        ln_sw=ln_sw, ln_ew=ln_ew, ln_desc=ln_desc,
+        ln_valid=ln_valid_f > 0.5,
+        pl_coeffs=pl_coeffs, pl_cloud=pl_cloud,
+        pl_cloud_n=pl_cloud_n_f.astype(jnp.int32),
+        pl_valid=pl_valid_f > 0.5,
     )
-    return win, pt_pad, ln_pad
+
+
+def _subsample_clouds_fixed(m) -> np.ndarray:
+    """_subsample_clouds with the shape FORCED to (Mp, ASSOC_CLOUD, 3) so
+    the packed-window layout is static regardless of the configured cloud
+    capacity."""
+    sub = _subsample_clouds(m)
+    mp, c, _ = sub.shape
+    if c == ASSOC_CLOUD:
+        return sub
+    out = np.zeros((mp, ASSOC_CLOUD, 3), sub.dtype)
+    out[:, :min(c, ASSOC_CLOUD)] = sub[:, :ASSOC_CLOUD]
+    return out
 
 
 def _subsample_clouds(m) -> np.ndarray:

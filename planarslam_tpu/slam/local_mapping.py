@@ -37,6 +37,7 @@ class LocalMapping:
         # recently created landmarks awaiting the culling probation window
         self._recent_pts: dict[int, int] = {}  # point id -> created-at KF
         self._recent_lns: dict[int, int] = {}
+        self.last_line_tri_count = 0
 
     def process_keyframe(self, kf: int) -> None:
         m = self.map
@@ -58,6 +59,7 @@ class LocalMapping:
 
             res = run_mapping_step(m, kf, self.cfg)
             self._apply_triangulation(kf, res)
+            self._apply_line_triangulation(kf, res)
             self._apply_fuse(kf, res)
             self._fuse_lines(kf)
             self._update_distinctive_descriptors(kf)
@@ -114,6 +116,47 @@ class LocalMapping:
             free[sel] = False
             for p in ids:
                 self._recent_pts[int(p)] = kf
+
+    def _apply_line_triangulation(self, kf: int, res: dict) -> None:
+        """Create map lines from two-view plane-plane triangulation
+        (reference `CreateNewMapLines2` `src/LocalMapping.cc:800`): free 2D
+        segments without a depth lift get endpoints from intersecting their
+        endpoint rays with the matched neighbor segment's back-projection
+        plane. Complements the per-frame depth-based creation for lines
+        beyond depth range or over invalid depth."""
+        m = self.map
+        T_wc = np.linalg.inv(m.kf_pose[kf])
+        created = 0
+        taken_nb: set[tuple[int, int]] = set()
+        for i, nb in enumerate(res["nb_ids"]):
+            if not res["nb_ok"][i]:
+                continue
+            nb = int(nb)
+            good = res["ln_tri_good"][i] > 0
+            for s in np.flatnonzero(good):
+                if int(m.kf_ln_idx[kf, s]) >= 0:
+                    continue  # created via an earlier neighbor
+                f2 = int(res["ln_tri_idx"][i, s])
+                if (nb, f2) in taken_nb or int(m.kf_ln_idx[nb, f2]) >= 0:
+                    continue
+                ids = m.alloc_lines(1)
+                l = int(ids[0])
+                m.ln_sw[l] = res["ln_tri_s"][i, s]
+                m.ln_ew[l] = res["ln_tri_e"][i, s]
+                m.ln_desc[l] = m.kf_ln_desc[kf, s]
+                m.ln_valid[l] = True
+                m.ln_nobs[l] = 2
+                m.ln_first_kf[l] = kf
+                m.ln_found[l] = 1
+                m.ln_visible[l] = 1
+                mid = 0.5 * (m.ln_sw[l] + m.ln_ew[l]) - T_wc[:3, 3]
+                m.ln_view_dir[l] = mid / max(np.linalg.norm(mid), 1e-9)
+                m.kf_ln_idx[kf, s] = l
+                m.kf_ln_idx[nb, f2] = l
+                taken_nb.add((nb, f2))
+                self._recent_lns[l] = kf
+                created += 1
+        self.last_line_tri_count = created
 
     # ---------------------------------------------------------------- fuse
     def _apply_fuse(self, kf: int, res: dict) -> None:

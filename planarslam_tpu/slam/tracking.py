@@ -117,6 +117,15 @@ class Tracking:
         # (`src/Tracking.cc:403-408`); System polls this after track()
         self.needs_reset = False
         self._feature_time_est: Optional[float] = None
+        # single worker: pulls are tiny (36 KB) and strictly ordered
+        from concurrent.futures import ThreadPoolExecutor
+        self._pull_pool = ThreadPoolExecutor(max_workers=1)
+        # chunked throughput mode state (cfg.tracking.chunk_size > 1)
+        self._chunk_buf: list = []
+        self._pending_chunks: list = []
+        self._dev_R_wm = None
+        self._dev_manh = None
+        self._host_R_wm = None
         # generation stamps captured when the association was made — detects
         # erase+recycle of a slot between frames (stale-id rebinding)
         self._host_last_map_pt_gen = np.zeros(cfg.orb.max_keypoints, np.int32)
@@ -262,6 +271,45 @@ class Tracking:
 
     def flush_pending(self) -> None:
         """Drain in-flight fused frames (end of sequence / mode switch)."""
+        if self._chunk_buf:
+            # partial chunk: pad by repeating the last frame, dispatch, and
+            # process only the real frames; the padded frames pollute the
+            # carried device state, so force a rebuild afterwards
+            from planarslam_tpu.slam.device_tracker import fused_track_chunk
+
+            C = self.cfg.tracking.chunk_size
+            buf = self._chunk_buf
+            self._chunk_buf = []
+            n_real = len(buf)
+            while len(buf) < C:
+                buf.append(buf[-1])
+            if self._window_dirty or self._window is None:
+                self._refresh_window()
+            if self._dev_R_wm is None:
+                R = self.R_wm if self.R_wm is not None \
+                    else np.eye(3, dtype=np.float32)
+                self._dev_R_wm = jnp.asarray(R.astype(np.float32))
+                self._dev_manh = jnp.asarray(self.R_wm is not None)
+            res = fused_track_chunk(
+                jnp.asarray(np.stack([b[0] for b in buf])),
+                jnp.asarray(np.stack([b[1] for b in buf])),
+                self._dev_R_wm, self._dev_manh, self._fused_state,
+                self._window, self._pose_weights, self.cfg)
+            fut = self._pull_pool.submit(np.asarray, res.packed)
+            self._pending_chunks.append({
+                "future": fut, "states": res.states,
+                "frames": [(b[2], b[3], b[4]) for b in buf[:n_real]]})
+            self._fused_state = None  # padded frames corrupted the carry
+        while self._pending_chunks:
+            entry = self._pending_chunks.pop(0)
+            if not self._process_chunk(entry):
+                self.state = TrackingState.LOST
+                self._fused_state = None
+                for e2 in self._pending_chunks:
+                    for ts, _, _ in e2["frames"]:
+                        self._append_record(ts, lost=True)
+                self._pending_chunks.clear()
+                break
         while self._pending:
             prev = self._pending.pop(0)
             ok = self._process_bundle(prev)
@@ -469,6 +517,8 @@ class Tracking:
             jnp.asarray(self.T_cw), jnp.asarray(self.velocity), self.cfg)
         self._window_dirty = True
         self._pending = []
+        self._chunk_buf = []
+        self._pending_chunks = []
         self._pose_override = None
         self._bundle_correction = None
         if self._feature_time_est is None:
@@ -531,13 +581,21 @@ class Tracking:
 
     def submit_fused_result(self, result, timestamp: float) -> bool:
         """Queue a fused-step result into the pipeline and process the
-        now-due lagged bundle. Counterpart of fused_step_inputs."""
+        now-due lagged bundle. Counterpart of fused_step_inputs.
+
+        The bundle pull runs on a background thread started at dispatch
+        time: the tunnel's program round-trip latency (~30 ms measured,
+        vs ~0.3 ms of actual device compute) then overlaps the next
+        frames' host work instead of blocking _process_bundle (the wait
+        releases the GIL)."""
         try:
             result.packed.copy_to_host_async()
         except Exception:
             pass  # platform without async D2H: np.asarray will sync later
+        packed_future = self._pull_pool.submit(np.asarray, result.packed)
         self._pending.append({
-            "packed": result.packed, "state": result.new_state,
+            "packed": result.packed, "packed_future": packed_future,
+            "state": result.new_state,
             "timestamp": timestamp, "frame_id": self.frame_id,
             "depth": self._last_depth})
         self._fused_state = result.new_state
@@ -559,15 +617,101 @@ class Tracking:
         device_tracker.fused_track_step)."""
         from planarslam_tpu.slam.device_tracker import fused_track_step
 
+        if self.cfg.tracking.chunk_size > 1:
+            return self._track_frame_chunked(gray, depth, timestamp)
         args = self.fused_step_inputs(gray, depth)
         result = fused_track_step(*args, self.cfg)
         return self.submit_fused_result(result, timestamp)
+
+    # ------------------------------------------------- chunked throughput
+    def _track_frame_chunked(self, gray, depth, timestamp: float) -> bool:
+        """Throughput mode: buffer C frames, run them as ONE device program
+        (device_tracker.fused_track_chunk), keep one chunk in flight. The
+        host<->device tunnel's per-transaction service time then amortizes
+        over C frames instead of hitting every frame."""
+        from planarslam_tpu.slam.device_tracker import fused_track_chunk
+
+        C = self.cfg.tracking.chunk_size
+        self._chunk_buf.append((np.asarray(gray), np.asarray(depth),
+                                timestamp, self.frame_id, self._last_depth))
+        if len(self._chunk_buf) < C:
+            return True
+        buf = self._chunk_buf
+        self._chunk_buf = []
+
+        if self._window_dirty or self._window is None:
+            self._refresh_window()
+        # loop/GBA pose override: rewrite the carried device state before
+        # dispatch (the in-chunk step then needs no override plumbing)
+        if self._pose_override is not None:
+            self._fused_state = self._fused_state._replace(
+                T_cw=jnp.asarray(self._pose_override.astype(np.float32)),
+                velocity=jnp.asarray(np.eye(4, dtype=np.float32)))
+            self._pose_override = None
+        manh_enabled = self.R_wm is not None
+        if self._dev_R_wm is None or (
+                manh_enabled and not np.array_equal(self.R_wm,
+                                                    self._host_R_wm)):
+            R = self.R_wm if manh_enabled else np.eye(3, dtype=np.float32)
+            self._dev_R_wm = jnp.asarray(R.astype(np.float32))
+            self._dev_manh = jnp.asarray(manh_enabled)
+            self._host_R_wm = None if self.R_wm is None else self.R_wm.copy()
+
+        from planarslam_tpu.slam.device_tracker import (
+            fused_track_chunk_packed, pack_chunk_frames)
+
+        packed_frames = pack_chunk_frames([b[0] for b in buf],
+                                          [b[1] for b in buf])
+        if packed_frames is not None:
+            # native sensor dtypes: ONE H2D transaction for the whole chunk
+            res = fused_track_chunk_packed(
+                jnp.asarray(packed_frames), self._dev_R_wm, self._dev_manh,
+                self._fused_state, self._window, self._pose_weights,
+                self.cfg)
+        else:
+            res = fused_track_chunk(
+                jnp.asarray(np.stack([b[0] for b in buf])),
+                jnp.asarray(np.stack([b[1] for b in buf])), self._dev_R_wm,
+                self._dev_manh, self._fused_state, self._window,
+                self._pose_weights, self.cfg)
+        fut = self._pull_pool.submit(np.asarray, res.packed)
+        self._pending_chunks.append({
+            "future": fut, "states": res.states,
+            "frames": [(b[2], b[3], b[4]) for b in buf]})
+        self._fused_state = res.final_state
+
+        while len(self._pending_chunks) > 1:
+            if not self._process_chunk(self._pending_chunks.pop(0)):
+                for entry in self._pending_chunks:
+                    for ts, _, _ in entry["frames"]:
+                        self._append_record(ts, lost=True)
+                self._pending_chunks.clear()
+                self._chunk_buf = []
+                self._fused_state = None
+                return False
+        return True
+
+    def _process_chunk(self, entry: dict) -> bool:
+        packed_all = entry["future"].result()  # (C, bundle)
+        for i, (ts, fid, raw_depth) in enumerate(entry["frames"]):
+            prev = {"packed": packed_all[i], "timestamp": ts,
+                    "frame_id": fid, "depth": raw_depth,
+                    "state_stack": entry["states"], "chunk_i": i,
+                    "chunk_cache": entry}
+            if not self._process_bundle(prev):
+                self.stats["lost"] += 1
+                for ts2, _, _ in entry["frames"][i + 1:]:
+                    self._append_record(ts2, lost=True)
+                return False
+        return True
 
     def _process_bundle(self, prev: dict) -> bool:
         """Apply the (lagged) fused-step results to the host map/state."""
         cfg = self.cfg
         m = self.map
-        bundle = self._layout.unpack(np.asarray(prev["packed"]))
+        fut = prev.get("packed_future")
+        bundle = self._layout.unpack(fut.result() if fut is not None
+                                     else np.asarray(prev["packed"]))
         self._last_depth = prev["depth"]
 
         flags = bundle["flags"]
@@ -651,7 +795,20 @@ class Tracking:
         # keyframe policy from device-computed statistics
         if self._need_new_keyframe_fused(bundle["kf_stats"], cur_map_pt,
                                          prev["frame_id"]):
-            feats_np = jax.device_get(prev["state"].feats)
+            state = prev.get("state")
+            if state is None:
+                # chunk mode: pull the WHOLE chunk's feature stack in ONE
+                # transaction the first time any of its frames creates a KF
+                # (per-leaf lazy slicing costs ~30 tunnel transactions),
+                # then slice on the host
+                cache = prev["chunk_cache"]
+                if "feats_host" not in cache:
+                    cache["feats_host"] = jax.device_get(
+                        prev["state_stack"].feats)
+                feats_np = jax.tree.map(lambda x: x[prev["chunk_i"]],
+                                        cache["feats_host"])
+            else:
+                feats_np = jax.device_get(state.feats)
             kf = self._create_keyframe(feats_np, prev["timestamp"],
                                        cur_map_pt, cur_map_ln, plane_matches)
             self.ref_kf = kf

@@ -120,3 +120,121 @@ def test_match_lines_across_frames():
     m1 = 0.5 * (np.asarray(f1.uv_s) + np.asarray(f1.uv_e))
     d = np.linalg.norm(m0[matched] - m1[idx[matched]], axis=1)
     assert np.median(d) < 20.0
+
+
+def test_line_triangulation_two_view():
+    """mapping_step's line triangulation (CreateNewMapLines2,
+    `src/LocalMapping.cc:800`): a 3D segment observed in two views with NO
+    depth lift is recovered by intersecting the first view's endpoint rays
+    with the second view's back-projection plane."""
+    import jax.numpy as jnp
+
+    from planarslam_tpu.config import SystemConfig
+    from planarslam_tpu.geometry import se3
+    from planarslam_tpu.slam.device_mapper import (MappingLayout, N_NEIGHBORS,
+                                                   mapping_step)
+
+    cfg = SystemConfig.tiny()
+    cam = cfg.camera
+    Kp = cfg.orb.max_keypoints
+    L = cfg.lines.max_lines
+    D = cfg.lines.desc_dim
+    rng = np.random.default_rng(3)
+
+    # ground-truth 3D segments in front of both cameras
+    n_ln = 4
+    sw = np.stack([rng.uniform(-0.6, 0.6, n_ln), rng.uniform(-0.4, 0.4, n_ln),
+                   rng.uniform(2.5, 4.0, n_ln)], axis=1).astype(np.float32)
+    d = rng.normal(0, 1, (n_ln, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ew = sw + 0.8 * d
+
+    T1 = np.eye(4, dtype=np.float32)
+    xi = np.array([0.25, 0.02, 0.0, 0.0, 0.06, 0.0], np.float32)
+    T2 = np.asarray(se3.se3_exp(jnp.asarray(xi))).astype(np.float32)
+
+    def project(T, X):
+        pc = X @ T[:3, :3].T + T[:3, 3]
+        u = cam.fx * pc[:, 0] / pc[:, 2] + cam.cx
+        v = cam.fy * pc[:, 1] / pc[:, 2] + cam.cy
+        return np.stack([u, v], axis=1)
+
+    def line_eq(uv_s, uv_e):
+        h1 = np.concatenate([uv_s, np.ones((len(uv_s), 1))], axis=1)
+        h2 = np.concatenate([uv_e, np.ones((len(uv_e), 1))], axis=1)
+        l = np.cross(h1, h2)
+        return (l / np.linalg.norm(l[:, :2], axis=1, keepdims=True)
+                ).astype(np.float32)
+
+    uvs1, uve1 = project(T1, sw), project(T1, ew)
+    uvs2, uve2 = project(T2, sw), project(T2, ew)
+
+    def pad_lines(uv_s, uv_e):
+        o_uvs = np.zeros((L, 2), np.float32)
+        o_uve = np.zeros((L, 2), np.float32)
+        o_l2d = np.zeros((L, 3), np.float32)
+        o_ang = np.zeros(L, np.float32)
+        o_desc = np.zeros((L, D), np.float32)
+        o_free = np.zeros(L, bool)
+        o_uvs[:n_ln] = uv_s
+        o_uve[:n_ln] = uv_e
+        o_l2d[:n_ln] = line_eq(uv_s, uv_e)
+        o_ang[:n_ln] = np.mod(np.arctan2(uv_e[:, 1] - uv_s[:, 1],
+                                         uv_e[:, 0] - uv_s[:, 0]), np.pi)
+        # shared random unit descriptors -> perfect matches
+        o_free[:n_ln] = True
+        return o_uvs, o_uve, o_l2d, o_ang, o_desc, o_free
+
+    o1 = pad_lines(uvs1, uve1)
+    o2 = pad_lines(uvs2, uve2)
+    descs = rng.normal(0, 1, (n_ln, D)).astype(np.float32)
+    descs /= np.linalg.norm(descs, axis=1, keepdims=True)
+    o1[4][:n_ln] = descs
+    o2[4][:n_ln] = descs
+
+    NB = N_NEIGHBORS
+    z_uv = np.zeros((Kp, 2), np.float32)
+    z_desc = np.zeros((Kp, 8), np.uint32)
+    z_lvl = np.zeros(Kp, np.int32)
+    z_b = np.zeros(Kp, bool)
+    nb_T = np.tile(np.eye(4, dtype=np.float32), (NB, 1, 1))
+    nb_T[0] = T2
+    nb_ok = np.zeros(NB, bool)
+    nb_ok[0] = True
+    nb_l2d = np.zeros((NB, L, 3), np.float32)
+    nb_desc = np.zeros((NB, L, D), np.float32)
+    nb_ang = np.zeros((NB, L), np.float32)
+    nb_free = np.zeros((NB, L), bool)
+    nb_l2d[0], nb_desc[0], nb_ang[0], nb_free[0] = o2[2], o2[4], o2[3], o2[5]
+
+    packed = mapping_step(
+        jnp.asarray(T1), jnp.asarray(z_uv), jnp.asarray(z_desc),
+        jnp.asarray(z_lvl), jnp.asarray(z_b),
+        jnp.zeros((Kp, 3), jnp.float32), jnp.asarray(z_desc),
+        jnp.asarray(z_b),
+        jnp.asarray(nb_T), jnp.asarray(np.tile(z_uv, (NB, 1, 1))),
+        jnp.asarray(np.tile(z_desc, (NB, 1, 1))),
+        jnp.asarray(np.tile(z_lvl, (NB, 1))),
+        jnp.asarray(np.tile(z_b, (NB, 1))),
+        jnp.zeros((NB, Kp), jnp.float32), jnp.asarray(np.tile(z_b, (NB, 1))),
+        jnp.asarray(nb_ok),
+        jnp.asarray(o1[0]), jnp.asarray(o1[1]), jnp.asarray(o1[2]),
+        jnp.asarray(o1[4]), jnp.asarray(o1[3]), jnp.asarray(o1[5]),
+        jnp.asarray(nb_l2d), jnp.asarray(nb_desc), jnp.asarray(nb_ang),
+        jnp.asarray(nb_free), cfg)
+    out = MappingLayout(cfg).unpack(np.asarray(packed))
+
+    good = out["ln_tri_good"][0, :n_ln] > 0
+    # random lines near the epipolar plane are CORRECTLY rejected by the
+    # parallax gate (plane-plane intersection is degenerate there); the
+    # well-conditioned ones must triangulate accurately
+    assert good.sum() >= 2, f"only {good.sum()} lines triangulated"
+    for i in np.flatnonzero(good):
+        assert out["ln_tri_idx"][0, i] == i
+        # endpoints land on the GT infinite line (ray-plane cut recovers the
+        # line, endpoint parameterization follows view 1's segment extent)
+        for ep in (out["ln_tri_s"][0, i], out["ln_tri_e"][0, i]):
+            rel = ep - sw[i]
+            perp = rel - (rel @ d[i]) * d[i]
+            assert np.linalg.norm(perp) < 0.03, \
+                f"line {i} endpoint off by {np.linalg.norm(perp)}"

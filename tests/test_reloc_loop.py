@@ -186,6 +186,26 @@ def test_loop_verify_and_correct_constructed():
                 "kf_desc", "kf_feat_valid", "kf_pt_idx", "kf_bow"):
         getattr(m, arr)[kf] = getattr(m, arr)[src]
     m.kf_parent[kf] = m.n_kf - 2
+
+    # give the fake KF DUPLICATE landmarks (clones of KF0's points, as a
+    # revisit without recognition would create): loop closing's
+    # SearchAndFuse must merge them back (`src/LoopClosing.cc:518-587`)
+    sel = np.flatnonzero((m.kf_pt_idx[src] >= 0)
+                         & m.pt_valid[np.clip(m.kf_pt_idx[src], 0, None)])
+    orig_ids = m.kf_pt_idx[src][sel]
+    clones = m.alloc_points(len(sel))
+    for arr in ("pt_xyz", "pt_desc", "pt_normal", "pt_min_dist",
+                "pt_max_dist"):
+        getattr(m, arr)[clones] = getattr(m, arr)[orig_ids]
+    m.pt_valid[clones] = True
+    m.pt_nobs[clones] = 1
+    m.pt_found[clones] = 1
+    m.pt_visible[clones] = 1
+    m.pt_first_kf[clones] = kf
+    m.kf_pt_idx[kf, sel] = clones
+    m.update_covisibility(kf)
+    n_valid_before = int(m.pt_valid.sum())
+
     pose_before = m.kf_pose[kf].copy()
     ok = slam.loop_closer._verify_and_correct(kf, src)
     assert ok, "loop verification failed on identical snapshots"
@@ -193,6 +213,12 @@ def test_loop_verify_and_correct_constructed():
     delta = np.linalg.norm(m.kf_pose[kf][:3, 3] - m.kf_pose[src][:3, 3])
     drift_size = np.linalg.norm(pose_before[:3, 3] - m.kf_pose[src][:3, 3])
     assert delta < 0.4 * drift_size, (delta, drift_size)
+    # duplicated landmarks were fused: valid point count dropped
+    n_valid_after = int(m.pt_valid.sum())
+    fused = n_valid_before - n_valid_after
+    assert fused >= 0.3 * len(clones), \
+        f"only {fused}/{len(clones)} duplicate landmarks fused"
+    assert slam.loop_closer.last_fuse_count > 0
 
 
 def test_global_ba_improves_or_keeps(rng):

@@ -126,3 +126,30 @@ def test_reset():
     slam.reset()
     assert slam.map.n_kf == 0
     assert slam.get_tracking_state() == TrackingState.NO_IMAGES_YET
+
+
+@pytest.mark.slow
+def test_chunked_tracking_matches_streaming():
+    """Throughput mode (tracking.chunk_size>1: C frames per device program,
+    one upload/execute/pull per chunk) must preserve SLAM quality — same
+    sequence, ATE within 1.5x of the per-frame streaming pipeline."""
+    import dataclasses
+
+    cfg = SystemConfig.tiny()
+    seq = synthetic.make_sequence(n_frames=20, width=cfg.camera.width,
+                                  height=cfg.camera.height)
+    results = {}
+    for name, c in (
+            ("stream", cfg),
+            ("chunk4", cfg.replace(tracking=dataclasses.replace(
+                cfg.tracking, chunk_size=4)))):
+        slam = System(config=c)
+        for i in range(len(seq)):
+            g, d = seq.render(i)
+            slam.track_rgbd(g, d, seq.timestamps[i])
+        slam.shutdown()
+        est = slam.frame_poses_wc()
+        assert len(est) == len(seq), f"{name}: dropped frames"
+        results[name] = ate_rmse(est[:, :3, 3], seq.poses_wc[:, :3, 3])
+        assert slam.get_tracking_state() == TrackingState.OK, name
+    assert results["chunk4"] < max(1.5 * results["stream"], 0.02), results
