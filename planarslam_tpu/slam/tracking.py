@@ -126,6 +126,9 @@ class Tracking:
         self._dev_R_wm = None
         self._dev_manh = None
         self._host_R_wm = None
+        self._dev_eye4 = None
+        self._dev_false = None
+        self._dev_true = None
         # generation stamps captured when the association was made — detects
         # erase+recycle of a slot between frames (stale-id rebinding)
         self._host_last_map_pt_gen = np.zeros(cfg.orb.max_keypoints, np.int32)
@@ -567,16 +570,31 @@ class Tracking:
         fused_track_step over B trackers' inputs."""
         if self._window_dirty or self._window is None:
             self._refresh_window()
+        # cache the small constant device arrays: each eager jnp.asarray is
+        # a tunnel transaction (2-60 ms under load); R_wm changes only at
+        # (re)initialization, the override only after loop corrections
         manh_enabled = self.R_wm is not None
-        R_wm = self.R_wm if manh_enabled else np.eye(3, dtype=np.float32)
+        if self._dev_R_wm is None or (
+                manh_enabled and not np.array_equal(self.R_wm,
+                                                    self._host_R_wm)):
+            R = self.R_wm if manh_enabled else np.eye(3, dtype=np.float32)
+            self._dev_R_wm = jnp.asarray(R.astype(np.float32))
+            self._dev_manh = jnp.asarray(manh_enabled)
+            self._host_R_wm = None if self.R_wm is None else self.R_wm.copy()
+        if self._dev_eye4 is None:
+            self._dev_eye4 = jnp.asarray(np.eye(4, dtype=np.float32))
+            self._dev_false = jnp.asarray(False)
+            self._dev_true = jnp.asarray(True)
         use_ovr = self._pose_override is not None
-        T_ovr = self._pose_override if use_ovr \
-            else np.eye(4, dtype=np.float32)
+        if use_ovr:
+            T_ovr_dev = jnp.asarray(self._pose_override.astype(np.float32))
+        else:
+            T_ovr_dev = self._dev_eye4
         self._pose_override = None
         return (jnp.asarray(gray), jnp.asarray(depth),
-                jnp.asarray(T_ovr.astype(np.float32)), jnp.asarray(use_ovr),
-                jnp.asarray(R_wm.astype(np.float32)),
-                jnp.asarray(manh_enabled), self._fused_state, self._window,
+                T_ovr_dev, self._dev_true if use_ovr else self._dev_false,
+                self._dev_R_wm,
+                self._dev_manh, self._fused_state, self._window,
                 self._pose_weights)
 
     def submit_fused_result(self, result, timestamp: float) -> bool:

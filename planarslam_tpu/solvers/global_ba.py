@@ -101,6 +101,11 @@ def global_bundle_adjustment(slam_map, cfg: SystemConfig,
     lm_out = np.asarray(lm_out)
     planes_out = np.asarray(planes_out)
 
+    # snapshot pre-correction poses: landmarks OUTSIDE the optimized caps
+    # follow their anchor keyframe rigidly (reference corrects every
+    # landmark via mPosGBA, `src/LoopClosing.cc:666+`)
+    poses_before_all = m.kf_pose.copy()
+
     # spanning-tree propagation for keyframes outside the window
     optimized = {k: i for i, k in enumerate(ids)}
     for k in m.valid_kf_ids():
@@ -125,3 +130,36 @@ def global_bundle_adjustment(slam_map, cfg: SystemConfig,
         m.ln_ew[ln_ids] = lm_out[P_pts + 1:P_pts + 2 * len(ln_ids):2]
     if len(pl_ids):
         m.pl_coeffs[pl_ids] = planes_out[:len(pl_ids)]
+
+    # re-anchor landmarks outside the optimized caps: x' follows the anchor
+    # KF's correction (x_cam stays fixed: x' = T_new_wc @ T_old_cw @ x)
+    def reanchor(out_ids, first_kf):
+        if len(out_ids) == 0:
+            return None
+        anchors = np.empty(len(out_ids), np.int64)
+        cache: dict = {}
+        for i, k in enumerate(first_kf):
+            k = int(max(k, 0))
+            if k not in cache:
+                cache[k] = m.resolve_kf(k)[0]
+            anchors[i] = cache[k]
+        before = poses_before_all[anchors]
+        after = m.kf_pose[anchors]
+        return np.einsum("nij,njk->nik", np.linalg.inv(after), before)
+
+    all_pts = np.flatnonzero(m.pt_valid)
+    out_pts = np.setdiff1d(all_pts, pt_ids, assume_unique=False)
+    corr = reanchor(out_pts, m.pt_first_kf[out_pts])
+    if corr is not None:
+        h = np.concatenate([m.pt_xyz[out_pts],
+                            np.ones((len(out_pts), 1), np.float32)], axis=1)
+        m.pt_xyz[out_pts] = np.einsum("nij,nj->ni", corr, h)[:, :3]
+    all_lns = np.flatnonzero(m.ln_valid)
+    out_lns = np.setdiff1d(all_lns, ln_ids, assume_unique=False)
+    corr_l = reanchor(out_lns, m.ln_first_kf[out_lns])
+    if corr_l is not None:
+        for arr in (m.ln_sw, m.ln_ew):
+            h = np.concatenate([arr[out_lns],
+                                np.ones((len(out_lns), 1), np.float32)],
+                               axis=1)
+            arr[out_lns] = np.einsum("nij,nj->ni", corr_l, h)[:, :3]

@@ -157,3 +157,52 @@ def test_entry_compiles_tiny():
     out = jax.jit(lambda g, d: extract_frame(g, d, cfg))(
         jnp.asarray(gray), jnp.asarray(depth))
     assert bool(np.asarray(out.points.valid).sum() > 10)
+
+
+def test_culled_keyframe_resolves_through_parent_chain():
+    """ADVICE round-1 item 2: culled keyframes store T_child_parent and
+    resolve through the spanning tree, so trajectory frames / landmark
+    anchors bound to them keep following loop/GBA corrections (reference
+    KeyFrame::SetBadFlag mTcp + SaveTrajectoryTUM walk,
+    `src/KeyFrame.cc:608`, `src/System.cc:208-214`)."""
+    import jax.numpy as jnp
+
+    from planarslam_tpu.config import SystemConfig
+    from planarslam_tpu.geometry import se3
+    from planarslam_tpu.slam.map import SlamMap
+
+    cfg = SystemConfig.tiny()
+    m = SlamMap(cfg)
+    rng = np.random.default_rng(5)
+    poses = []
+    for k in range(4):
+        kf = m.alloc_keyframe()
+        m.kf_valid[kf] = True
+        xi = rng.normal(0, 0.2, 6).astype(np.float32)
+        m.kf_pose[kf] = np.asarray(se3.se3_exp(jnp.asarray(xi)))
+        m.kf_parent[kf] = kf - 1 if kf > 0 else -1
+        poses.append(m.kf_pose[kf].copy())
+
+    # cull KF2 then KF1 (chained culls: KF2's stored tcp is relative to its
+    # then-valid parent KF1, which is culled afterwards)
+    m.cull_keyframe(2)
+    m.cull_keyframe(1)
+    assert not m.kf_valid[1] and not m.kf_valid[2]
+
+    # a correction moves KF0 (the resolved anchor of both culled KFs)
+    dT = np.asarray(se3.se3_exp(jnp.asarray(
+        np.array([0.1, -0.05, 0.02, 0.3, 0.1, -0.2], np.float32))))
+    m.kf_pose[0] = (dT @ m.kf_pose[0]).astype(np.float32)
+
+    for culled in (1, 2):
+        anchor, T_rel = m.resolve_kf(culled)
+        assert anchor == 0, f"KF{culled} should resolve to KF0"
+        resolved = T_rel @ m.kf_pose[0]
+        # the resolved pose carries the SAME correction KF0 received
+        expect = poses[culled] @ np.linalg.inv(poses[0]) @ m.kf_pose[0]
+        np.testing.assert_allclose(resolved, expect, atol=1e-4)
+
+    # valid KF resolves to itself
+    anchor, T_rel = m.resolve_kf(3)
+    assert anchor == 3
+    np.testing.assert_allclose(T_rel, np.eye(4), atol=1e-7)
