@@ -245,3 +245,43 @@ def test_global_ba_improves_or_keeps(rng):
     err_after = np.linalg.norm(m.kf_pose[ids][:, :3, 3] - gt[:, :3, 3],
                                axis=1).mean()
     assert err_after < max(1.5 * err_before, 0.05)
+
+
+def test_loop_candidates_reject_dissimilar_keyframes(rng):
+    """False-positive guard for the retrieval score floors (round-1 weak
+    #10): keyframes with unrelated descriptor sets must NOT become loop
+    candidates, while a genuinely similar revisit must."""
+    import jax.numpy as jnp
+
+    from planarslam_tpu.slam.map import SlamMap
+    from planarslam_tpu.slam.retrieval import KeyFrameDatabase
+
+    cfg = SystemConfig.tiny()
+    m = SlamMap(cfg)
+    db = KeyFrameDatabase(cfg)
+    K = cfg.orb.max_keypoints
+    v = np.ones(K, bool)
+
+    # 12 mutually dissimilar KFs (independent random descriptor sets)
+    descs = [rng.integers(0, 2 ** 32, (K, 8), dtype=np.uint32)
+             for _ in range(12)]
+    for i in range(12):
+        kf = m.alloc_keyframe()
+        m.kf_valid[kf] = True
+        m.kf_desc[kf] = descs[i]
+        m.kf_feat_valid[kf] = v
+        db.add(m, kf)
+    # no covisibility between any of them -> candidate gating is purely
+    # score-floor based; the dissimilar ones must all be rejected
+    assert db.loop_candidates(m, 11) == []
+
+    # a true revisit: KF12 shares ~85% of KF0's descriptors
+    kf = m.alloc_keyframe()
+    m.kf_valid[kf] = True
+    d = descs[0].copy()
+    d[:K // 8] = rng.integers(0, 2 ** 32, (K // 8, 8), dtype=np.uint32)
+    m.kf_desc[kf] = d
+    m.kf_feat_valid[kf] = v
+    db.add(m, kf)
+    cands = db.loop_candidates(m, kf)
+    assert 0 in cands, f"revisit of KF0 not retrieved: {cands}"
