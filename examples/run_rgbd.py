@@ -38,12 +38,20 @@ def main() -> int:
                     help="sleep to sensor rate like the reference main loop")
     ap.add_argument("--out-dir", default=".")
     ap.add_argument("--save-mesh", action="store_true")
+    ap.add_argument("--chunk", type=int, default=1,
+                    help="frames per device program (throughput mode; "
+                         "pose output lags up to 2*chunk frames)")
     args = ap.parse_args()
 
     from planarslam_tpu.config import SystemConfig, load_yaml_config
     from planarslam_tpu.slam.system import System
 
     cfg = load_yaml_config(args.settings) if args.settings else SystemConfig()
+    if args.chunk > 1:
+        import dataclasses
+
+        cfg = cfg.replace(tracking=dataclasses.replace(
+            cfg.tracking, chunk_size=args.chunk))
     slam = System(config=cfg)
 
     os.makedirs(args.out_dir, exist_ok=True)
