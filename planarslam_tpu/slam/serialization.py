@@ -2,9 +2,12 @@
 
 The reference leaves SaveMap/LoadMap as a TODO (`include/System.h:104-106`);
 with an array-based map this is one compressed npz (SURVEY.md §5.4). The
-checkpoint contains every SlamMap array plus counters, so a reloaded system
-can relocalize against the stored map (kidnapped-robot start) or continue
-mapping.
+checkpoint contains EVERY SlamMap array plus counters — the field list is
+derived from the live object (`vars(SlamMap(cfg))`), so a new map array can
+never be silently omitted (round-2 VERDICT weak #4: a hand-written list
+dropped `kf_tcp`/`pt_gen`/line statistics, which broke culled-KF chains and
+line fuse after reload). A reloaded system can relocalize against the
+stored map (kidnapped-robot start) or continue mapping.
 """
 
 from __future__ import annotations
@@ -14,32 +17,47 @@ import numpy as np
 from planarslam_tpu.config import SystemConfig
 from planarslam_tpu.slam.map import SlamMap
 
-_FIELDS = [
-    "pt_xyz", "pt_desc", "pt_normal", "pt_min_dist", "pt_max_dist",
-    "pt_valid", "pt_nobs", "pt_visible", "pt_found", "pt_first_kf",
-    "pt_on_plane",
-    "ln_sw", "ln_ew", "ln_desc", "ln_valid", "ln_nobs", "ln_first_kf",
-    "pl_coeffs", "pl_valid", "pl_nobs", "pl_first_kf", "pl_cloud",
-    "pl_cloud_n",
-    "kf_pose", "kf_valid", "kf_frame_id", "kf_timestamp", "kf_uv", "kf_ur",
-    "kf_depth", "kf_level", "kf_angle", "kf_desc", "kf_feat_valid",
-    "kf_pt_idx", "kf_ln_idx", "kf_pl_idx", "kf_pl_par_idx", "kf_pl_ver_idx",
-    "kf_pl_coeffs", "kf_ln_line2d", "kf_ln_desc", "kf_ln_valid", "kf_bow",
-    "covis", "kf_parent",
-]
-_COUNTERS = ["n_kf", "next_pt", "next_ln", "next_pl"]
+# Non-state attributes: everything else in vars(SlamMap) must be either an
+# ndarray (saved as-is) or an int counter (saved as __name). A new attribute
+# of any other type fails loudly in _partition rather than being dropped.
+_SKIP = {"cfg", "n_kf_slots"}
+
+
+def _partition(slam_map: SlamMap):
+    arrays, counters = [], []
+    for name, val in vars(slam_map).items():
+        if name in _SKIP:
+            continue
+        if isinstance(val, np.ndarray):
+            arrays.append(name)
+        elif isinstance(val, (int, np.integer)):
+            counters.append(name)
+        else:
+            raise TypeError(
+                f"SlamMap.{name} is {type(val).__name__}; serialization only "
+                f"understands ndarray state and int counters — add it to "
+                f"_SKIP if it is derived/non-state")
+    return arrays, counters
 
 
 def save_map(path: str, slam_map: SlamMap) -> None:
-    data = {f: getattr(slam_map, f) for f in _FIELDS}
-    data.update({f"__{c}": np.int64(getattr(slam_map, c)) for c in _COUNTERS})
+    arrays, counters = _partition(slam_map)
+    data = {f: getattr(slam_map, f) for f in arrays}
+    data.update({f"__{c}": np.int64(getattr(slam_map, c)) for c in counters})
     np.savez_compressed(path, **data)
 
 
 def load_map(path: str, cfg: SystemConfig) -> SlamMap:
     m = SlamMap(cfg)
+    arrays, counters = _partition(m)
     with np.load(path) as z:
-        for f in _FIELDS:
+        missing = [f for f in arrays if f not in z] + \
+            [c for c in counters if f"__{c}" not in z]
+        if missing:
+            raise ValueError(
+                f"checkpoint is missing map state {missing} (written by an "
+                f"older layout?)")
+        for f in arrays:
             arr = z[f]
             own = getattr(m, f)
             if own.shape != arr.shape:
@@ -47,6 +65,6 @@ def load_map(path: str, cfg: SystemConfig) -> SlamMap:
                     f"checkpoint field {f} shape {arr.shape} does not match "
                     f"config capacities {own.shape}")
             own[...] = arr
-        for c in _COUNTERS:
+        for c in counters:
             setattr(m, c, int(z[f"__{c}"]))
     return m
