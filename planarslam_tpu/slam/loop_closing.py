@@ -173,6 +173,10 @@ class LoopClosing:
         T_loop_w = m.kf_pose[loop_kf]
         T_c_w_corr = (T_kl @ T_loop_w).astype(np.float32)
 
+        # persist the accepted constraint so every LATER essential-graph run
+        # still includes it (`KeyFrame::AddLoopEdge` + `src/Optimizer.cc:2799+`)
+        m.add_loop_edge(kf, loop_kf, T_kl)
+
         # if the loop is already consistent (negligible implied correction),
         # record it but do not perturb the trajectory
         dT = T_c_w_corr @ np.linalg.inv(m.kf_pose[kf])

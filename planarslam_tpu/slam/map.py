@@ -23,6 +23,8 @@ import numpy as np
 
 from planarslam_tpu.config import SystemConfig
 
+LOOP_EDGE_CAP = 64  # persisted loop constraints (KeyFrame::AddLoopEdge role)
+
 
 class SlamMap:
     """Host-side global map; device kernels consume gathered windows of it."""
@@ -65,6 +67,10 @@ class SlamMap:
         self.ln_found = np.zeros(m.max_lines, np.int32)
         self.ln_visible = np.zeros(m.max_lines, np.int32)
         self.ln_view_dir = np.zeros((m.max_lines, 3), np.float32)
+        # erase+recycle generation stamps (same role as pt_gen): holders of
+        # a line id captured in a device window can detect the slot was
+        # recycled for a different landmark while the window was in flight
+        self.ln_gen = np.zeros(m.max_lines, np.int32)
 
         # --- planes (MapPlane fields, `include/MapPlane.h:23`) ---------------
         self.pl_coeffs = np.zeros((m.max_planes, 4), np.float32)
@@ -119,10 +125,31 @@ class SlamMap:
         self.kf_tcp = np.tile(np.eye(4, dtype=np.float32),
                               (m.max_keyframes, 1, 1))
 
+        # accepted loop constraints (reference `KeyFrame::AddLoopEdge` —
+        # stored on keyframes and included in EVERY later essential-graph
+        # run, `src/Optimizer.cc:2799+`; round 2 rebuilt edges from scratch
+        # per correction so old loop constraints evaporated)
+        self.loop_edge_ab = np.full((LOOP_EDGE_CAP, 2), -1, np.int32)
+        self.loop_edge_T = np.tile(np.eye(4, dtype=np.float32),
+                                   (LOOP_EDGE_CAP, 1, 1))  # measured T_a_b
+        self.n_loop_edges = 0
+
         self.n_kf = 0  # next keyframe slot (monotonic)
         self.next_pt = 0
         self.next_ln = 0
         self.next_pl = 0
+
+    def add_loop_edge(self, a: int, b: int, T_ab: np.ndarray) -> None:
+        """Persist an accepted loop constraint T_a_w = T_ab @ T_b_w
+        (`KeyFrame::AddLoopEdge` role). Oldest edge is dropped at capacity."""
+        if self.n_loop_edges >= LOOP_EDGE_CAP:
+            self.loop_edge_ab[:-1] = self.loop_edge_ab[1:]
+            self.loop_edge_T[:-1] = self.loop_edge_T[1:]
+            self.n_loop_edges = LOOP_EDGE_CAP - 1
+        i = self.n_loop_edges
+        self.loop_edge_ab[i] = (a, b)
+        self.loop_edge_T[i] = T_ab.astype(np.float32)
+        self.n_loop_edges += 1
 
     # -- allocation helpers ---------------------------------------------------
     def alloc_points(self, k: int) -> np.ndarray:
@@ -316,8 +343,19 @@ class SlamMap:
     def erase_line(self, ids) -> None:
         ids = np.atleast_1d(np.asarray(ids))
         self.ln_valid[ids] = False
+        self.ln_gen[ids] += 1
         tbl = self.kf_ln_idx[:self.n_kf]
         tbl[np.isin(tbl, ids)] = -1
+
+    def erase_plane(self, pl: int) -> None:
+        """Invalidate a plane and scrub every observation table
+        (`MapPlane::SetBadFlag` role — the probation culling of
+        `src/LocalMapping.cc:279-307` erases observation-starved planes)."""
+        self.pl_valid[pl] = False
+        self.pl_cloud_n[pl] = 0
+        for tbl in (self.kf_pl_idx, self.kf_pl_par_idx, self.kf_pl_ver_idx):
+            t = tbl[:self.n_kf]
+            t[t == pl] = -1
 
     def replace_point(self, drop: int, keep: int) -> None:
         """MapPoint::Replace semantics: rewrite every observation of `drop`
@@ -375,3 +413,4 @@ class SlamMap:
         self.ln_found[keep] += self.ln_found[drop]
         self.ln_visible[keep] += self.ln_visible[drop]
         self.ln_valid[drop] = False
+        self.ln_gen[drop] += 1

@@ -9,9 +9,12 @@ reference's Sim3 graph with s=1).
 
 Solved as dense batched Gauss-Newton on the product manifold: residuals
 r_ij = log(T_ij_meas^-1 · T_i · T_j^-1) for all edges at once (vmapped),
-Jacobians by one jacfwd over the stacked 6N tangent, dense 6N x 6N normal
-equations — at 512-KF capacity that is a 3072-dim solve, ideal MXU work,
-far simpler and faster on TPU than a sparse solver.
+per-edge 6x6 Jacobian blocks by one vmapped jacfwd over the TWO incident
+tangents (each edge touches only xi_i, xi_j — round 2 ran jacfwd over the
+full stacked 6N tangent, i.e. 3072 forward passes per iteration at the
+512-KF capacity; this is E passes of width 12), blocks scatter-added into
+the dense 6N x 6N normal equations — the dense solve itself is ideal MXU
+work and far simpler than a sparse solver on TPU.
 """
 
 from __future__ import annotations
@@ -35,23 +38,36 @@ def _optimize(poses0: jnp.ndarray, edges_ij: jnp.ndarray,
     edges_meas: (E, 4, 4) measured T_i T_j^-1; edge_w: (E,) weights;
     fixed_mask: (N,) 1.0 where the pose is gauge-fixed."""
     n = poses0.shape[0]
+    meas_inv = jax.vmap(se3.T_inv)(edges_meas)
+    ii, jj = edges_ij[:, 0], edges_ij[:, 1]
 
-    def residuals(xi_flat, poses):
-        xi = xi_flat.reshape(n, 6)
-        T = jax.vmap(se3.se3_exp)(xi) @ poses
-        Ti = T[edges_ij[:, 0]]
-        Tj = T[edges_ij[:, 1]]
-        rel = Ti @ jax.vmap(se3.T_inv)(Tj)
-        err = jax.vmap(se3.T_inv)(edges_meas) @ rel
-        r = jax.vmap(se3.se3_log)(err)  # (E, 6)
-        return (r * edge_w[:, None]).reshape(-1)
+    def edge_res(xi_i, xi_j, Ti, Tj, m_inv, w):
+        rel = (se3.se3_exp(xi_i) @ Ti) @ se3.T_inv(se3.se3_exp(xi_j) @ Tj)
+        return se3.se3_log(m_inv @ rel) * w
+
+    # per-edge residual + 6x6 Jacobian blocks wrt the two incident tangents
+    edge_val_jac = jax.vmap(
+        lambda Ti, Tj, m_inv, w: (
+            edge_res(jnp.zeros(6, poses0.dtype), jnp.zeros(6, poses0.dtype),
+                     Ti, Tj, m_inv, w),
+            jax.jacfwd(edge_res, argnums=(0, 1))(
+                jnp.zeros(6, poses0.dtype), jnp.zeros(6, poses0.dtype),
+                Ti, Tj, m_inv, w)))
 
     def step(poses, _):
-        xi0 = jnp.zeros((n * 6,), poses.dtype)
-        r0 = residuals(xi0, poses)
-        J = jax.jacfwd(residuals)(xi0, poses)  # (6E, 6N)
-        H = J.T @ J
-        g = J.T @ r0
+        Ti, Tj = poses[ii], poses[jj]
+        r0, (Ji, Jj) = edge_val_jac(Ti, Tj, meas_inv, edge_w)  # (E,6),(E,6,6)
+        # dense normal equations assembled from the sparse blocks
+        Hb = jnp.zeros((n, n, 6, 6), poses.dtype)
+        Hb = Hb.at[ii, ii].add(jnp.einsum("eab,eac->ebc", Ji, Ji))
+        Hb = Hb.at[jj, jj].add(jnp.einsum("eab,eac->ebc", Jj, Jj))
+        Hb = Hb.at[ii, jj].add(jnp.einsum("eab,eac->ebc", Ji, Jj))
+        Hb = Hb.at[jj, ii].add(jnp.einsum("eab,eac->ebc", Jj, Ji))
+        H = Hb.transpose(0, 2, 1, 3).reshape(n * 6, n * 6)
+        gb = jnp.zeros((n, 6), poses.dtype)
+        gb = gb.at[ii].add(jnp.einsum("eab,ea->eb", Ji, r0))
+        gb = gb.at[jj].add(jnp.einsum("eab,ea->eb", Jj, r0))
+        g = gb.reshape(-1)
         # gauge fixing: heavily damp fixed poses
         diag_fix = jnp.repeat(fixed_mask, 6) * 1e8 + 1e-6
         H = H + jnp.diag(diag_fix)
@@ -99,6 +115,24 @@ def optimize_pose_graph(slam_map, kf_corrected: int, T_corrected: np.ndarray,
     T_rel_loop = (T_corrected @ np.linalg.inv(m.kf_pose[loop_kf])
                   ).astype(np.float32)
     edges.append((id_pos[kf_corrected], id_pos[loop_kf], T_rel_loop, 5.0))
+    # persisted loop edges from EARLIER corrections (KeyFrame::AddLoopEdge —
+    # the reference includes sLoopEdges in every essential-graph run,
+    # `src/Optimizer.cc:2799+`). Edges whose endpoint was culled chain the
+    # stored measurement through the cull-time relative to a valid ancestor.
+    for e in range(m.n_loop_edges):
+        a, b = int(m.loop_edge_ab[e, 0]), int(m.loop_edge_ab[e, 1])
+        T_ab = m.loop_edge_T[e]
+        if (a, b) == (kf_corrected, loop_kf):
+            continue  # the current loop edge, added above from T_corrected
+        if not m.kf_valid[a]:
+            a, T_rel_a = m.resolve_kf(a)
+            T_ab = np.linalg.inv(T_rel_a) @ T_ab  # anchor_a-from-b
+        if not m.kf_valid[b]:
+            b, T_rel_b = m.resolve_kf(b)
+            T_ab = T_ab @ T_rel_b                 # a-from-anchor_b
+        if a < 0 or b < 0 or a == b:
+            continue
+        edges.append((id_pos[a], id_pos[b], T_ab.astype(np.float32), 5.0))
 
     e_ij = np.asarray([(a, b) for a, b, _, _ in edges], np.int32)
     e_meas = np.asarray([t for _, _, t, _ in edges], np.float32)
