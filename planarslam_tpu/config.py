@@ -119,6 +119,9 @@ class PlaneConfig:
     merge_rounds: int = 12
     block_mse_sigma: float = 1.6e-6  # AHCParamSet.hpp:87 depth-dependent MSE scale
     block_mse_tol: float = 0.008  # merge tolerance (m)
+    # edge-preserving box window for the plane/normal depth path (the role
+    # of PCL integral-image smoothing 10, `src/Frame.cc:715-728`); 0/1 = off
+    smooth_window: int = 5
     normal_sub: int = 6  # surface-normal subsample stride (PCL 3x then 2x, Frame.cc:694-752)
 
 
@@ -167,6 +170,9 @@ class TrackingConfig:
     close_lines_for_kf: int = 50
     min_matches_track: int = 10
     min_matches_local_map: int = 30
+    # relocalization acceptance: >=50 inliers after the coarse-to-fine
+    # guided rematch (reference `src/Tracking.cc:2648-2691` nGood>=50)
+    reloc_min_inliers: int = 50
     # >1 runs C sequential frames per device program (one upload/execute/
     # pull per chunk) — throughput mode for transaction-latency-bound
     # deployments (e.g. a host<->TPU tunnel); pose output + map updates lag
@@ -219,6 +225,10 @@ class SystemConfig:
             manhattan=ManhattanConfig(max_normals=512),
             map=MapConfig(max_keyframes=32, max_points=4096, max_lines=256,
                           max_planes=32, plane_cloud_capacity=512),
+            # reloc acceptance scales with the feature budget (reference
+            # nGood>=50 is tuned for 1000 ORB features; tiny runs 256 and
+            # its KFs carry only ~25-80 landmark observations)
+            tracking=TrackingConfig(reloc_min_inliers=15),
         )
 
 

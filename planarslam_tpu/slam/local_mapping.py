@@ -37,6 +37,7 @@ class LocalMapping:
         # recently created landmarks awaiting the culling probation window
         self._recent_pts: dict[int, int] = {}  # point id -> created-at KF
         self._recent_lns: dict[int, int] = {}
+        self._recent_pls: dict[int, int] = {}
         self.last_line_tri_count = 0
 
     def process_keyframe(self, kf: int) -> None:
@@ -47,6 +48,8 @@ class LocalMapping:
         created_l = np.flatnonzero((m.ln_first_kf == kf) & m.ln_valid)
         for l in created_l:
             self._recent_lns[int(l)] = kf
+        for p in np.flatnonzero((m.pl_first_kf == kf) & m.pl_valid):
+            self._recent_pls[int(p)] = kf
 
         self._cull_points(kf)
         self._cull_lines(kf)
@@ -297,6 +300,24 @@ class LocalMapping:
         (`src/LocalMapping.cc:233-307`)."""
         m = self.map
         cfg = self.cfg.planes
+        # probation: recent planes never re-observed after 2 KFs are erased
+        # (the reference's recent-plane culling `:279-303`; its cnThObs=2
+        # is calibrated to its per-frame matcher — here a fresh duplicate
+        # of a real plane is often created and then MERGED instead of
+        # re-associated, so a nobs<=2 rule erases real walls mid-merge;
+        # nobs<=1 keeps the ghost-killing function: one-shot spurious fits
+        # die, merged-at-least-once structure survives)
+        drop = []
+        for p, born in list(self._recent_pls.items()):
+            if not m.pl_valid[p]:
+                drop.append(p)
+            elif kf - born >= 2 and m.pl_nobs[p] <= 1:
+                m.erase_plane(p)
+                drop.append(p)
+            elif kf - born >= 3:
+                drop.append(p)  # graduated
+        for p in drop:
+            self._recent_pls.pop(p, None)
         ids = np.flatnonzero(m.pl_valid)
         # merge coplanar map planes: keep the earlier (more observed) one
         for a_i in range(len(ids)):
