@@ -41,6 +41,11 @@ def main() -> int:
     ap.add_argument("--chunk", type=int, default=1,
                     help="frames per device program (throughput mode; "
                          "pose output lags up to 2*chunk frames)")
+    ap.add_argument("--scene", default="room", choices=["room", "corridor"],
+                    help="synthetic scene (corridor = texture-poor stress)")
+    ap.add_argument("--depth-noise", type=float, default=0.0,
+                    help="synthetic Kinect noise scale (1.0 = the reference"
+                         " sigma(z) model, src/LineExtractor.cpp:1182)")
     args = ap.parse_args()
 
     from planarslam_tpu.config import SystemConfig, load_yaml_config
@@ -62,9 +67,12 @@ def main() -> int:
     if args.synthetic:
         from planarslam_tpu.io import synthetic
 
-        seq = synthetic.make_sequence(n_frames=args.synthetic,
-                                      width=cfg.camera.width,
-                                      height=cfg.camera.height)
+        seq = synthetic.make_sequence(
+            n_frames=args.synthetic, width=cfg.camera.width,
+            height=cfg.camera.height, scene=args.scene,
+            kind="corridor" if args.scene == "corridor" else "arc",
+            depth_noise=args.depth_noise,
+            noise_model="kinect" if args.depth_noise > 0 else "scaled")
         loader = ((seq.timestamps[i],) + seq.render(i)
                   for i in range(len(seq)))
         n_total = len(seq)

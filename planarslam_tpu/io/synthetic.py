@@ -55,6 +55,42 @@ def _corner_texture(rng: np.random.Generator, size: int = 256,
     return np.clip(tex, 5.0, 250.0).astype(np.float32)
 
 
+def kinect_depth_std(d: np.ndarray) -> np.ndarray:
+    """Depth standard deviation sigma(z) = c1 z^2 + c2 z + c3 in metres —
+    the reference's Kinect noise model with its exact coefficients
+    (`src/LineExtractor.cpp:1182-1194` depthStdDev: c1=0.00273,
+    c2=0.00074, c3=-0.00058)."""
+    return np.maximum(0.00273 * d * d + 0.00074 * d - 0.00058, 0.0)
+
+
+def make_corridor(seed: int = 0, length: float = 10.0, width: float = 2.0,
+                  height: float = 2.4, contrast: float = 40.0
+                  ) -> List[TexturedPlane]:
+    """Texture-poor corridor (SURVEY §6 stress config: plane-dominant,
+    feature-starved): two long side walls, floor, ceiling, end wall, all
+    with low-contrast coarse textures. The camera travels down +z."""
+    rng = np.random.default_rng(seed)
+    hw, hh, hl = width / 2.0, height / 2.0, length / 2.0
+    ex = np.array([1.0, 0, 0])
+    ey = np.array([0, 1.0, 0])
+    ez = np.array([0, 0, 1.0])
+
+    def tex(cells=8):
+        return _corner_texture(rng, cells=cells, contrast=contrast)
+
+    return [
+        # left / right walls (x = -hw / +hw), long in z
+        TexturedPlane(np.array([-hw, 0, hl]), ez, ey, hl, hh, tex()),
+        TexturedPlane(np.array([hw, 0, hl]), ez, ey, hl, hh, tex()),
+        # floor (y = +hh, camera y points down) / ceiling
+        TexturedPlane(np.array([0, hh, hl]), ex, ez, hw, hl, tex()),
+        TexturedPlane(np.array([0, -hh, hl]), ex, ez, hw, hl, tex()),
+        # end wall
+        TexturedPlane(np.array([0, 0, length]), ex, ey, hw, hh,
+                      tex(cells=12)),
+    ]
+
+
 def make_room(seed: int = 0, size: float = 4.0) -> List[TexturedPlane]:
     """A Manhattan room: floor, ceiling, three walls, plus two boxes.
 
@@ -99,6 +135,7 @@ class SyntheticSequence:
     width: int
     height: int
     depth_noise: float = 0.0
+    noise_model: str = "scaled"
     _rng: np.random.Generator = field(default_factory=lambda: np.random.default_rng(7))
 
     def __len__(self):
@@ -109,12 +146,14 @@ class SyntheticSequence:
         return render_frame(self.planes, self.poses_wc[i],
                             (self.fx, self.fy, self.cx, self.cy),
                             self.width, self.height,
-                            depth_noise=self.depth_noise, rng=self._rng)
+                            depth_noise=self.depth_noise,
+                            noise_model=self.noise_model, rng=self._rng)
 
 
 def render_frame(planes: List[TexturedPlane], T_wc: np.ndarray,
                  intrinsics: Tuple[float, float, float, float],
                  width: int, height: int, depth_noise: float = 0.0,
+                 noise_model: str = "scaled",
                  rng: Optional[np.random.Generator] = None
                  ) -> Tuple[np.ndarray, np.ndarray]:
     fx, fy, cx, cy = intrinsics
@@ -155,7 +194,14 @@ def render_frame(planes: List[TexturedPlane], T_wc: np.ndarray,
     depth = np.where(np.isfinite(best_t), best_t, 0.0)
     if depth_noise > 0:
         rng = rng or np.random.default_rng(0)
-        noise = rng.normal(0.0, depth_noise, depth.shape) * np.maximum(depth, 0.5) ** 2
+        if noise_model == "kinect":
+            # sensor-realistic: sigma(z) from the reference's Kinect model
+            # (`src/LineExtractor.cpp:1182`), depth_noise acts as a scale
+            # (1.0 = nominal sensor)
+            sigma = kinect_depth_std(depth) * depth_noise
+        else:  # legacy quadratic-in-depth scale model
+            sigma = depth_noise * np.maximum(depth, 0.5) ** 2
+        noise = rng.normal(0.0, 1.0, depth.shape) * sigma
         depth = np.where(depth > 0, np.maximum(depth + noise, 0.0), 0.0)
     return gray.astype(np.float32), depth.astype(np.float32)
 
@@ -190,6 +236,14 @@ def make_trajectory(n_frames: int, kind: str = "arc", seed: int = 3,
         yaw = 0.22 * np.sin(ang)
         pitch = 0.04 * np.sin(2 * ang)
         roll = np.zeros_like(p)
+    elif kind == "corridor":
+        # forward travel down a hallway (+z) with gentle sway and look-around
+        x = 0.12 * np.sin(1.5 * np.pi * p)
+        y = 0.05 * np.sin(2.3 * np.pi * p)
+        z = 2.2 * p
+        yaw = 0.10 * np.sin(1.8 * np.pi * p)
+        pitch = 0.04 * np.sin(2.6 * np.pi * p)
+        roll = np.zeros_like(p)
     elif kind == "still":
         x = y = z = yaw = pitch = roll = np.zeros_like(p)
     else:
@@ -205,15 +259,19 @@ def make_trajectory(n_frames: int, kind: str = "arc", seed: int = 3,
 
 def make_sequence(n_frames: int = 60, width: int = 640, height: int = 480,
                   kind: str = "arc", seed: int = 0, fps: float = 30.0,
-                  depth_noise: float = 0.0,
+                  depth_noise: float = 0.0, noise_model: str = "scaled",
+                  scene: str = "room",
                   intrinsics: Optional[Tuple[float, float, float, float]] = None
                   ) -> SyntheticSequence:
-    planes = make_room(seed=seed)
+    if scene == "corridor":
+        planes = make_corridor(seed=seed)
+    else:
+        planes = make_room(seed=seed)
     ts, poses = make_trajectory(n_frames, kind=kind, seed=seed, fps=fps)
     if intrinsics is None:
         scale = width / 640.0
         intrinsics = (535.4 * scale, 539.2 * scale, width / 2.0 - 0.5, height / 2.0 - 0.5)
     fx, fy, cx, cy = intrinsics
     return SyntheticSequence(planes, poses, ts, fx, fy, cx, cy, width, height,
-                             depth_noise=depth_noise,
+                             depth_noise=depth_noise, noise_model=noise_model,
                              _rng=np.random.default_rng(seed + 1000))

@@ -52,6 +52,30 @@ def backproject_depth(depth: jnp.ndarray, cam: CameraConfig) -> jnp.ndarray:
     return jnp.stack([x, y, depth], axis=-1)
 
 
+def box_smooth_depth(depth: jnp.ndarray, k: int = 5) -> jnp.ndarray:
+    """Edge-preserving depth smoothing for the plane/normal path.
+
+    Stands in for the averaging the reference gets from PCL
+    IntegralImageNormalEstimation (smoothing size 10, AVERAGE_3D_GRADIENT
+    on a 3x-subsampled cloud, `src/Frame.cc:715-728`): under a realistic
+    sensor noise model sigma(z) (`src/LineExtractor.cpp:1182`), raw 1-px
+    central differences are noise-dominated. Box-averages valid depths but
+    keeps the RAW value where the local mean deviates strongly — depth
+    discontinuities must not bleed into slanted ghost surfaces. A box mean
+    of a linear ramp equals its center value, so noise-free planes are
+    unchanged away from edges."""
+    if k <= 1:
+        return depth
+    valid = (depth > 1e-6).astype(depth.dtype)
+    sums = jax.lax.reduce_window(depth * valid, 0.0, jax.lax.add,
+                                 (k, k), (1, 1), "SAME")
+    cnts = jax.lax.reduce_window(valid, 0.0, jax.lax.add,
+                                 (k, k), (1, 1), "SAME")
+    mu = sums / jnp.maximum(cnts, 1.0)
+    keep = jnp.abs(depth - mu) < 0.03 * jnp.maximum(depth, 1.0)
+    return jnp.where((valid > 0) & keep & (cnts > 0), mu, depth)
+
+
 def surface_normals(points: jnp.ndarray, stride: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Normals from the point map via central differences.
 
@@ -217,7 +241,6 @@ def extract_planes(depth: jnp.ndarray, cam: CameraConfig, cfg: PlaneConfig
     # assign each valid pixel to the nearest candidate plane
     pts_flat = points.reshape(-1, 3)
     dist_pix = jnp.abs(pts_flat @ normal_c.T + d_c[None, :])  # (HW, P)
-    # normal agreement via local normals (cheap proxy: reuse block normals)
     dist_pix = jnp.where(cand_valid[None, :], dist_pix, jnp.inf)
     best = jnp.argmin(dist_pix, axis=-1)
     best_dist = jnp.take_along_axis(dist_pix, best[:, None], axis=-1)[:, 0]

@@ -45,9 +45,20 @@ def extract_frame(gray: jnp.ndarray, depth: jnp.ndarray,
                   cfg: SystemConfig) -> FrameFeatures:
     pts = extract_point_features(gray, depth, cfg.camera, cfg.orb)
     lns = line_ops.extract_line_features(gray, depth, cfg.camera, cfg.lines)
+    # plane segmentation reads the RAW depth: PEAC's depth-dependent block
+    # MSE gate is itself the noise filter (`AHCParamSet.hpp:87` — under
+    # sensor noise beyond T_mse(z) the reference's fitter rejects blocks
+    # too), and any pre-smoothing rounds room-corner creases into curved
+    # bands that fit as spurious diagonal planes.
     pls = plane_ops.extract_planes(depth, cfg.camera, cfg.planes)
 
-    points3d = plane_ops.backproject_depth(depth, cfg.camera)
+    # surface normals DO read an edge-preserving smoothed depth — the
+    # reference's normal path averages the same way (PCL integral-image
+    # normals w/ smoothing 10 on a subsampled cloud, `src/Frame.cc:715-728`)
+    # and raw 1-px central differences are noise-dominated under a
+    # realistic sigma(z) sensor model, starving Manhattan tracking
+    depth_s = plane_ops.box_smooth_depth(depth, cfg.planes.smooth_window)
+    points3d = plane_ops.backproject_depth(depth_s, cfg.camera)
     stride = _normal_stride(cfg)
     n, v = plane_ops.surface_normals(points3d, stride=stride)
     n = n.reshape(-1, 3)

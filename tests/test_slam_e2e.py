@@ -121,6 +121,122 @@ def test_localization_mode_freezes_map():
     assert min(errs) < 0.06, f"localization errors {errs}"
 
 
+def _inject_bogus_line(slam):
+    """A phantom map line in the camera frustum with a garbage descriptor:
+    it will be VISIBLE every frame but never FOUND, so `_cull_lines`' ratio
+    rule (found/visible < 0.25 after >=3 sightings, reference
+    `MapLineCulling` `src/LocalMapping.cc:204`) must erase it."""
+    m = slam.map
+    kf = slam.tracker.ref_kf
+    # anchor the phantom to a feature slot with NO detected 2D segment —
+    # binding it to a real segment would hand it a real descriptor pool
+    # (medoid re-election) and make it a legitimately matched line
+    free = np.flatnonzero((m.kf_ln_idx[kf] < 0) & ~m.kf_ln_valid[kf])
+    if len(free) > 0:
+        slot = int(free[0])
+    else:  # every slot taken: evict one and dedicate it to the phantom
+        unbound = np.flatnonzero(m.kf_ln_idx[kf] < 0)
+        slot = int(unbound[0]) if len(unbound) else 0
+        m.kf_ln_idx[kf, slot] = -1
+        m.kf_ln_valid[kf, slot] = False
+        m.kf_ln_desc[kf, slot] = 0.0
+    l = int(m.alloc_lines(1)[0])
+    T_wc = np.linalg.inv(slam.tracker.T_cw)
+    c, right, fwd = T_wc[:3, 3], T_wc[:3, 0], T_wc[:3, 2]
+    m.ln_sw[l] = c + 1.5 * fwd - 0.12 * right
+    m.ln_ew[l] = c + 1.5 * fwd + 0.12 * right
+    rng = np.random.default_rng(99)
+    desc = rng.normal(0, 1, m.ln_desc.shape[1]).astype(np.float32)
+    m.ln_desc[l] = -np.abs(desc) / np.linalg.norm(desc)  # anti-correlated
+    m.ln_valid[l] = True
+    # nobs=2 so the few-observers rule (age>=2 & nobs<=1) cannot fire —
+    # only the found/visible RATIO rule can erase this line
+    m.ln_nobs[l] = 2
+    m.ln_first_kf[l] = kf
+    m.ln_found[l] = 0
+    m.ln_visible[l] = 1
+    m.kf_ln_idx[kf, slot] = l
+    slam.local_mapper._recent_lns[l] = kf
+    slam.tracker._window_dirty = True
+    return l
+
+
+@pytest.mark.parametrize("mode", ["fused", "host"])
+def test_line_ratio_cull_fires(mode):
+    """Round-2 VERDICT missing #4 acceptance: line found/visible statistics
+    accumulate on BOTH tracking paths (the fused bundle now carries
+    ln_win_found/visible), so a never-matched visible line is culled by the
+    ratio rule in the default fused mode exactly as on the host path."""
+    import dataclasses
+
+    cfg = SystemConfig.tiny()
+    cfg = cfg.replace(tracking=dataclasses.replace(
+        cfg.tracking, max_frames_between_kf=2))  # KFs -> culling runs often
+    seq = synthetic.make_sequence(n_frames=24, width=cfg.camera.width,
+                                  height=cfg.camera.height)
+    slam = System(config=cfg)
+    for i in range(8):
+        g, d = seq.render(i)
+        slam.track_rgbd(g, d, seq.timestamps[i])
+        if mode == "host":
+            slam.tracker.flush_pending()
+            slam.tracker._fused_state = None  # force the non-fused path
+    slam.tracker.flush_pending()
+    assert slam.get_tracking_state() == TrackingState.OK
+    l = _inject_bogus_line(slam)
+    m = slam.map
+    gen0 = int(m.ln_gen[l])
+    at_cull = None  # (visible, found) captured when the phantom dies
+    for i in range(8, 20):
+        g, d = seq.render(i)
+        slam.track_rgbd(g, d, seq.timestamps[i])
+        # the slot may be RECYCLED for a real line later (ln_gen moves on),
+        # so capture the phantom's statistics at the moment it is culled
+        if at_cull is None and (not m.ln_valid[l]
+                                or m.ln_gen[l] != gen0):
+            at_cull = (int(m.ln_visible[l]), int(m.ln_found[l]))
+    slam.shutdown()
+    if at_cull is None and (not m.ln_valid[l] or m.ln_gen[l] != gen0):
+        at_cull = (int(m.ln_visible[l]), int(m.ln_found[l]))
+    assert at_cull is not None, \
+        f"{mode}: phantom line survived (found={m.ln_found[l]}, " \
+        f"visible={m.ln_visible[l]})"
+    vis_at_cull, found_at_cull = at_cull
+    # ratio-rule signature: seen >=3 times, never matched
+    assert vis_at_cull >= 3, \
+        f"{mode}: visibility stats never accumulated ({vis_at_cull})"
+    assert found_at_cull == 0, \
+        f"{mode}: phantom unexpectedly matched {found_at_cull} times"
+
+
+def test_full_sequence_determinism():
+    """SURVEY §4(e): the same sequence through two fresh Systems yields
+    BIT-IDENTICAL trajectories — a property the reference cannot have
+    (rand() in RANSAC, thread-timing-dependent behavior) and the
+    single-controller design must (round-2 VERDICT missing #6)."""
+    cfg = SystemConfig.tiny()
+    seq = synthetic.make_sequence(n_frames=20, width=cfg.camera.width,
+                                  height=cfg.camera.height)
+    frames = [seq.render(i) for i in range(len(seq))]
+
+    def run():
+        slam = System(config=cfg)
+        for i, (g, d) in enumerate(frames):
+            slam.track_rgbd(g, d, seq.timestamps[i])
+        slam.shutdown()
+        return slam
+
+    a, b = run(), run()
+    est_a, est_b = a.frame_poses_wc(), b.frame_poses_wc()
+    assert est_a.shape == est_b.shape == (len(seq), 4, 4)
+    np.testing.assert_array_equal(est_a, est_b)
+    # the maps are identical too, not just the trajectories
+    np.testing.assert_array_equal(a.map.kf_pose, b.map.kf_pose)
+    np.testing.assert_array_equal(a.map.pt_xyz, b.map.pt_xyz)
+    np.testing.assert_array_equal(a.map.kf_pt_idx, b.map.kf_pt_idx)
+    assert a.map.n_kf == b.map.n_kf
+
+
 def test_reset():
     cfg, seq, slam = _run_sequence(n_frames=6)
     slam.reset()
@@ -153,6 +269,31 @@ def test_chunked_tracking_matches_streaming():
         results[name] = ate_rmse(est[:, :3, 3], seq.poses_wc[:, :3, 3])
         assert slam.get_tracking_state() == TrackingState.OK, name
     assert results["chunk4"] < max(1.5 * results["stream"], 0.02), results
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name,kw,tol", [
+    ("kinect_noise", dict(depth_noise=1.0, noise_model="kinect"), 0.03),
+    ("corridor", dict(kind="corridor", scene="corridor"), 0.06),
+])
+def test_stress_scene_configs(name, kw, tol):
+    """Sensor-stress configurations the bench reports (round-2 VERDICT
+    weak #2): the reference's Kinect depth-noise model sigma(z)
+    (`src/LineExtractor.cpp:1182`) and a texture-poor corridor. Tracking
+    must hold and ATE stay bounded at tiny scale (bench runs 640x480)."""
+    cfg = SystemConfig.tiny()
+    seq = synthetic.make_sequence(n_frames=30, width=cfg.camera.width,
+                                  height=cfg.camera.height, **kw)
+    slam = System(config=cfg)
+    for i in range(len(seq)):
+        g, d = seq.render(i)
+        slam.track_rgbd(g, d, seq.timestamps[i])
+    slam.shutdown()
+    assert slam.get_tracking_state() == TrackingState.OK, name
+    est = slam.frame_poses_wc()
+    err = ate_rmse(est[:, :3, 3], seq.poses_wc[:len(est), :3, 3])
+    assert err < tol, f"{name} ATE {err:.4f} m"
+    assert slam.tracker.stats["lost"] <= 2
 
 
 @pytest.mark.slow
