@@ -33,8 +33,14 @@ def _measure_dispatch_floor(frames, cfg, n: int = 64) -> float:
     frame k, pull frame k-2's bundle, zero host SLAM work. This is the
     floor any per-frame pipeline can reach in this environment (tunnel
     program-dispatch cadence); measured in the SAME run as the tracker so
-    the judge can read tracker-vs-floor from one BENCH json."""
+    the judge can read tracker-vs-floor from one BENCH json.
+
+    Pulls ride a 1-worker background thread exactly like the tracker's
+    `_pull_pool` (`slam/tracking.py`) — an inline np.asarray would serialize
+    pull-then-dispatch and measure a slower pipeline than the one under
+    test."""
     import time as _t
+    from concurrent.futures import ThreadPoolExecutor
 
     import numpy as np
 
@@ -50,6 +56,7 @@ def _measure_dispatch_floor(frames, cfg, n: int = 64) -> float:
     if tr._fused_state is None:  # tracking failed; floor unmeasurable
         return float("nan")
     tr._refresh_window()
+    pool = ThreadPoolExecutor(max_workers=1)
     pend = []
     # warmup (compile already cached from the streaming run)
     for k in range(4):
@@ -62,12 +69,14 @@ def _measure_dispatch_floor(frames, cfg, n: int = 64) -> float:
         g, d = frames[10 + (k % 16)]
         res = fused_track_step(*tr.fused_step_inputs(g, d), cfg)
         tr._fused_state = res.new_state
-        pend.append(res.packed)
+        pend.append(pool.submit(np.asarray, res.packed))
         if len(pend) > 2:
-            np.asarray(pend.pop(0))
+            pend.pop(0).result()
     for p in pend:
-        np.asarray(p)
-    return (_t.perf_counter() - t0) / n * 1e3
+        p.result()
+    dt = (_t.perf_counter() - t0) / n * 1e3
+    pool.shutdown()
+    return dt
 
 
 def main() -> None:
