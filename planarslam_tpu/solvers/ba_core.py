@@ -126,6 +126,172 @@ def _proj_jacobians(pc, K, bf):
     return jnp.stack([row_u, row_v, row_r], axis=-2)  # (..., 3, 3)
 
 
+# ---------------------------------------------------------------------------
+# Shared per-observation residual/Jacobian blocks. Used by the dense-Schur
+# ba_solve below AND by the matrix-free PCG variant (solvers/ba_pcg.py) so
+# the measurement model lives in exactly one place.
+# ---------------------------------------------------------------------------
+
+def _point_jacs(poses_c, pts, slot, uv, ur, is_stereo, K, bf):
+    """Point reprojection residuals + analytic Jacobians.
+
+    Returns r (Kt, F, 3) = (obs - pred) with the minus sign folded into the
+    Jacobians, Jpose (Kt, F, 3, 6) wrt the left-multiplied se3 tangent of the
+    observing pose, Jpt (Kt, F, 3, 3) wrt the world point."""
+    fx, fy, cx, cy = K
+    R = poses_c[:, :3, :3]
+    t = poses_c[:, :3, 3]
+    xw = pts[slot]
+    pc = jnp.einsum("kij,kfj->kfi", R, xw) + t[:, None, :]
+    z = jnp.maximum(pc[..., 2], 1e-6)
+    u = fx * pc[..., 0] / z + cx
+    v = fy * pc[..., 1] / z + cy
+    urh = u - bf / z
+    r_pt = jnp.stack([uv[..., 0] - u, uv[..., 1] - v,
+                      jnp.where(is_stereo, ur - urh, 0.0)], axis=-1)
+    dh = _proj_jacobians(pc, K, bf)
+    hat_pc = se3.hat(pc)
+    Jpose = jnp.concatenate([-dh, dh @ hat_pc], axis=-1)  # (Kt,F,3,6)
+    Jpt = -dh @ R[:, None]                                # (Kt,F,3,3)
+    return r_pt, Jpose, Jpt
+
+
+def _line_jacs(poses_c, pts, slot, line2d, K):
+    """Line-endpoint point-to-image-line residuals + analytic Jacobians.
+
+    Returns r (Kt, L2), Jp (Kt, L2, 6) wrt the pose tangent, Jl (Kt, L2, 3)
+    wrt the world endpoint. Residual is the signed distance to the observed
+    normalized image line (direct error, positive Jacobians)."""
+    fx, fy, cx, cy = K
+    R = poses_c[:, :3, :3]
+    t = poses_c[:, :3, 3]
+    xl = pts[slot]
+    pcl = jnp.einsum("kij,klj->kli", R, xl) + t[:, None, :]
+    zl = jnp.maximum(pcl[..., 2], 1e-6)
+    ul = fx * pcl[..., 0] / zl + cx
+    vl = fy * pcl[..., 1] / zl + cy
+    r_ln = line2d[..., 0] * ul + line2d[..., 1] * vl + line2d[..., 2]
+    a, b = line2d[..., 0], line2d[..., 1]
+    zl2 = zl * zl
+    row = jnp.stack([
+        a * fx / zl,
+        b * fy / zl,
+        -(a * fx * pcl[..., 0] + b * fy * pcl[..., 1]) / zl2,
+    ], axis=-1)  # (Kt, L2, 3) = dr/dpc
+    hat_l = se3.hat(pcl)
+    Jp_ln = jnp.concatenate([
+        row, -jnp.einsum("kli,klij->klj", row, hat_l)], axis=-1)
+    Jl_ln = jnp.einsum("kli,kij->klj", row, R)  # (Kt, L2, 3)
+    return r_ln, Jp_ln, Jl_ln
+
+
+def _plane_jacs(poses_c, plane_base, theta, slot, pi_obs, err_fn, dtype):
+    """Plane residuals + jacfwd Jacobians for one observation table.
+
+    Returns rr (Kt, Pp, D), Jx (Kt, Pp, D, 6) wrt the pose tangent,
+    Jt (Kt, Pp, D, 3) wrt the plane's 3-dof tangent chart."""
+    Kt, Pp = slot.shape
+    base_g = plane_base[slot]         # (Kt, Pp, 4)
+    theta_g = theta[slot]             # (Kt, Pp, 3)
+    T_g = jnp.broadcast_to(poses_c[:, None], (Kt, Pp, 4, 4))
+
+    def obs_res(xi, dtheta, T0, base0, theta0, pi_o):
+        T_new = se3.se3_exp(xi) @ T0
+        pi_world = plane_retract(base0, theta0 + dtheta)
+        return err_fn(plane_geo.transform(T_new, pi_world), pi_o)
+
+    zeros6 = jnp.zeros((6,), dtype)
+    zeros3 = jnp.zeros((3,), dtype)
+
+    def one(T0, base0, theta0, pi_o):
+        r = obs_res(zeros6, zeros3, T0, base0, theta0, pi_o)
+        Jx = jax.jacfwd(obs_res, argnums=0)(
+            zeros6, zeros3, T0, base0, theta0, pi_o)
+        Jt = jax.jacfwd(obs_res, argnums=1)(
+            zeros6, zeros3, T0, base0, theta0, pi_o)
+        return r, Jx, Jt
+
+    return jax.vmap(jax.vmap(one))(T_g, base_g, theta_g, pi_obs)
+
+
+def _rho_fn(chi, gate, mask, huber: bool):
+    """Robust (Huber-composed) per-observation cost."""
+    if huber:
+        val = jnp.where(
+            chi > gate,
+            2 * jnp.sqrt(gate * jnp.clip(chi, 1e-12, None)) - gate,
+            chi)
+    else:
+        val = chi
+    return val * mask
+
+
+def _huber_w_fn(chi, gate, huber: bool):
+    """IRLS weight of the Huber kernel at the given chi2."""
+    if not huber:
+        return jnp.ones_like(chi)
+    return jnp.where(chi > gate,
+                     jnp.sqrt(gate / jnp.clip(chi, 1e-12, None)), 1.0)
+
+
+def _robust_decrease_tables(chis_new, chis_cur, gates, masks, huber: bool):
+    """sum(rho_new - rho_cur) accumulated as PER-OBSERVATION differences:
+    near convergence the total cost is ~1e2 while a true step improvement
+    is ~1e-6 — far below f32 resolution of the total — but each individual
+    difference is tiny and sums at full relative precision, so the accept
+    test stays meaningful."""
+    parts = []
+    for (cn, cc), gate, mask in zip(zip(chis_new, chis_cur), gates, masks):
+        parts.append(jnp.sum(_rho_fn(cn, gate, mask, huber)
+                             - _rho_fn(cc, gate, mask, huber)))
+    return sum(parts)
+
+
+def _all_chi2_tables(poses_c, lm_c, plane_base, P, pt, ln, pl, par, ver,
+                     pt_slot, ln_slot, pl_slot, par_slot, ver_slot,
+                     is_stereo, K, bf, w):
+    """Per-observation chi2 for every table at the given state
+    (residuals only — no Jacobian cost; shared by both solvers)."""
+    fx, fy, cx, cy = K
+    pts = lm_c[:P]
+    theta = lm_c[P:]
+    pi_w = plane_retract(plane_base, theta)
+    R = poses_c[:, :3, :3]
+    t = poses_c[:, :3, 3]
+
+    xw = pts[pt_slot]
+    pc = jnp.einsum("kij,kfj->kfi", R, xw) + t[:, None, :]
+    z = jnp.maximum(pc[..., 2], 1e-6)
+    u = fx * pc[..., 0] / z + cx
+    v = fy * pc[..., 1] / z + cy
+    urh = u - bf / z
+    r_pt = jnp.stack([pt.uv[..., 0] - u, pt.uv[..., 1] - v,
+                      jnp.where(is_stereo, pt.ur - urh, 0.0)], axis=-1)
+    chi_pt = jnp.sum(r_pt * r_pt, axis=-1) * pt.inv_s2
+
+    xl = pts[ln_slot]
+    pcl = jnp.einsum("kij,klj->kli", R, xl) + t[:, None, :]
+    zl = jnp.maximum(pcl[..., 2], 1e-6)
+    ul = fx * pcl[..., 0] / zl + cx
+    vl = fy * pcl[..., 1] / zl + cy
+    r_ln = (ln.line2d[..., 0] * ul + ln.line2d[..., 1] * vl
+            + ln.line2d[..., 2])
+    chi_ln = r_ln * r_ln * ln.inv_s2
+
+    def plane_chi(tables, slot, err_fn, wts):
+        pi_est = plane_geo.transform(poses_c[:, None], pi_w[slot])
+        r = err_fn(pi_est, tables.pi_obs)
+        return jnp.sum(r * r * wts, axis=-1)
+
+    w_pl = jnp.stack([w.angle_info, w.angle_info, w.dis_info])
+    chi_pl = plane_chi(pl, pl_slot, plane_geo.ominus, w_pl)
+    chi_par = plane_chi(par, par_slot, plane_geo.ominus_par,
+                        jnp.stack([w.par_info, w.par_info]))
+    chi_ver = plane_chi(ver, ver_slot, plane_geo.ominus_ver,
+                        jnp.stack([w.ver_info, w.ver_info]))
+    return chi_pt, chi_ln, chi_pl, chi_par, chi_ver
+
+
 @partial(jax.jit, static_argnames=("n_iters", "huber"))
 def ba_solve(
     poses: jnp.ndarray,        # (Kt, 4, 4)
@@ -161,94 +327,29 @@ def ba_solve(
     kf_range = jnp.arange(Kt)
 
     def all_chi2(poses_c, lm_c):
-        """Per-observation chi2 for every table at the given state."""
-        pts = lm_c[:P]
-        theta = lm_c[P:]
-        pi_w = plane_retract(plane_base, theta)
-        R = poses_c[:, :3, :3]
-        t = poses_c[:, :3, 3]
+        return _all_chi2_tables(
+            poses_c, lm_c, plane_base, P, pt, ln, pl, par, ver,
+            pt_slot, ln_slot, pl_slot, par_slot, ver_slot,
+            is_stereo, K, bf, w)
 
-        # points
-        xw = pts[pt_slot]
-        pc = jnp.einsum("kij,kfj->kfi", R, xw) + t[:, None, :]
-        z = jnp.maximum(pc[..., 2], 1e-6)
-        u = fx * pc[..., 0] / z + cx
-        v = fy * pc[..., 1] / z + cy
-        urh = u - bf / z
-        r_pt = jnp.stack([pt.uv[..., 0] - u, pt.uv[..., 1] - v,
-                          jnp.where(is_stereo, pt.ur - urh, 0.0)], axis=-1)
-        chi_pt = jnp.sum(r_pt * r_pt, axis=-1) * pt.inv_s2
-
-        # line endpoints
-        xl = pts[ln_slot]
-        pcl = jnp.einsum("kij,klj->kli", R, xl) + t[:, None, :]
-        zl = jnp.maximum(pcl[..., 2], 1e-6)
-        ul = fx * pcl[..., 0] / zl + cx
-        vl = fy * pcl[..., 1] / zl + cy
-        r_ln = (ln.line2d[..., 0] * ul + ln.line2d[..., 1] * vl
-                + ln.line2d[..., 2])
-        chi_ln = r_ln * r_ln * ln.inv_s2
-
-        # planes
-        def plane_chi(tables, slot, err_fn, wts):
-            pi_est = plane_geo.transform(poses_c[:, None], pi_w[slot])
-            r = err_fn(pi_est, tables.pi_obs)
-            return jnp.sum(r * r * wts, axis=-1)
-
-        w_pl = jnp.stack([w.angle_info, w.angle_info, w.dis_info])
-        chi_pl = plane_chi(pl, pl_slot, plane_geo.ominus, w_pl)
-        chi_par = plane_chi(par, par_slot, plane_geo.ominus_par,
-                            jnp.stack([w.par_info, w.par_info]))
-        chi_ver = plane_chi(ver, ver_slot, plane_geo.ominus_ver,
-                            jnp.stack([w.ver_info, w.ver_info]))
-        return chi_pt, chi_ln, chi_pl, chi_par, chi_ver
-
-    def _rho(chi, gate, mask):
-        if huber:
-            val = jnp.where(
-                chi > gate,
-                2 * jnp.sqrt(gate * jnp.clip(chi, 1e-12, None)) - gate,
-                chi)
-        else:
-            val = chi
-        return val * mask
+    gates = (gate_pt, CHI2_MONO, w.plane_chi, w.vp_chi, w.vp_chi)
+    masks = (pt.mask, ln.mask, pl.mask, par.mask, ver.mask)
 
     def robust_total(chis):
-        chi_pt, chi_ln, chi_pl, chi_par, chi_ver = chis
-        return (jnp.sum(_rho(chi_pt, gate_pt, pt.mask))
-                + jnp.sum(_rho(chi_ln, CHI2_MONO, ln.mask))
-                + jnp.sum(_rho(chi_pl, w.plane_chi, pl.mask))
-                + jnp.sum(_rho(chi_par, w.vp_chi, par.mask))
-                + jnp.sum(_rho(chi_ver, w.vp_chi, ver.mask)))
+        return sum(jnp.sum(_rho_fn(c, g, m, huber))
+                   for c, g, m in zip(chis, gates, masks))
 
     def robust_decrease(chis_new, chis_cur):
-        """sum(rho_new - rho_cur), accumulated as PER-OBSERVATION
-        differences: near convergence the total cost is ~1e2 while a true
-        step improvement is ~1e-6 — far below f32 resolution of the total —
-        but each individual difference is tiny and sums at full relative
-        precision, so the accept test stays meaningful."""
-        parts = []
-        for (cn, cc), gate, mask in zip(
-                zip(chis_new, chis_cur),
-                (gate_pt, CHI2_MONO, w.plane_chi, w.vp_chi, w.vp_chi),
-                (pt.mask, ln.mask, pl.mask, par.mask, ver.mask)):
-            parts.append(jnp.sum(_rho(cn, gate, mask)
-                                 - _rho(cc, gate, mask)))
-        return sum(parts)
+        return _robust_decrease_tables(chis_new, chis_cur, gates, masks,
+                                       huber)
 
     def huber_w(chi, gate):
-        if not huber:
-            return jnp.ones_like(chi)
-        return jnp.where(chi > gate,
-                         jnp.sqrt(gate / jnp.clip(chi, 1e-12, None)), 1.0)
+        return _huber_w_fn(chi, gate, huber)
 
     def step(state, _):
         poses_c, lm_c, lam, _ = state
         pts = lm_c[:P]
         theta = lm_c[P:]
-        pi_w = plane_retract(plane_base, theta)
-        R = poses_c[:, :3, :3]
-        t = poses_c[:, :3, 3]
 
         Hcc = jnp.zeros((Kt, 6, 6))
         bc = jnp.zeros((Kt, 6))
@@ -257,23 +358,13 @@ def ba_solve(
         Hcp = jnp.zeros((Kt, M, 6, 3))
 
         # ---------------- points (analytic Jacobians) ---------------------
-        xw = pts[pt_slot]
-        pc = jnp.einsum("kij,kfj->kfi", R, xw) + t[:, None, :]
-        z = jnp.maximum(pc[..., 2], 1e-6)
-        u = fx * pc[..., 0] / z + cx
-        v = fy * pc[..., 1] / z + cy
-        urh = u - bf / z
-        r_pt = jnp.stack([pt.uv[..., 0] - u, pt.uv[..., 1] - v,
-                          jnp.where(is_stereo, pt.ur - urh, 0.0)], axis=-1)
+        r_pt, Jpose, Jpt = _point_jacs(poses_c, pts, pt_slot, pt.uv, pt.ur,
+                                       is_stereo, K, bf)
         chi_pt = jnp.sum(r_pt * r_pt, axis=-1) * pt.inv_s2
         w_pt = pt.inv_s2 * huber_w(chi_pt, gate_pt) * pt.mask
         dim = jnp.stack([jnp.ones_like(w_pt), jnp.ones_like(w_pt),
                          is_stereo.astype(w_pt.dtype)], axis=-1)
         Wp = w_pt[..., None] * dim
-        dh = _proj_jacobians(pc, K, bf)
-        hat_pc = se3.hat(pc)
-        Jpose = jnp.concatenate([-dh, dh @ hat_pc], axis=-1)  # (Kt,F,3,6)
-        Jpt = -dh @ R[:, None]                                # (Kt,F,3,3)
         rw = r_pt * Wp
         Hcc += jnp.einsum("kfai,kfa,kfaj->kij", Jpose, Wp, Jpose)
         bc += jnp.einsum("kfai,kfa->ki", Jpose, rw)
@@ -291,26 +382,10 @@ def ba_solve(
 
         # ---------------- line endpoints (analytic, 1-dim) ----------------
         if ln.slot.shape[1] > 0:
-            xl = pts[ln_slot]
-            pcl = jnp.einsum("kij,klj->kli", R, xl) + t[:, None, :]
-            zl = jnp.maximum(pcl[..., 2], 1e-6)
-            ul = fx * pcl[..., 0] / zl + cx
-            vl = fy * pcl[..., 1] / zl + cy
-            r_ln = (ln.line2d[..., 0] * ul + ln.line2d[..., 1] * vl
-                    + ln.line2d[..., 2])
+            r_ln, Jp_ln, Jl_ln = _line_jacs(poses_c, pts, ln_slot,
+                                            ln.line2d, K)
             chi_ln = r_ln * r_ln * ln.inv_s2
             w_ln = ln.inv_s2 * huber_w(chi_ln, CHI2_MONO) * ln.mask
-            a, b = ln.line2d[..., 0], ln.line2d[..., 1]
-            zl2 = zl * zl
-            row = jnp.stack([
-                a * fx / zl,
-                b * fy / zl,
-                -(a * fx * pcl[..., 0] + b * fy * pcl[..., 1]) / zl2,
-            ], axis=-1)  # (Kt, L2, 3) = dr/dpc
-            hat_l = se3.hat(pcl)
-            Jp_ln = jnp.concatenate([
-                row, -jnp.einsum("kli,klij->klj", row, hat_l)], axis=-1)
-            Jl_ln = jnp.einsum("kli,kij->klj", row, R)  # (Kt, L2, 3)
             rwl = r_ln * w_ln
             Hcc += jnp.einsum("kli,kl,klj->kij", Jp_ln, w_ln, Jp_ln)
             bc += jnp.einsum("kli,kl->ki", Jp_ln, rwl)
@@ -334,28 +409,8 @@ def ba_solve(
             Pp = tables.slot.shape[1]
             if Pp == 0:
                 return acc
-            base_g = plane_base[slot]         # (Kt, Pp, 4)
-            theta_g = theta[slot]             # (Kt, Pp, 3)
-            T_g = jnp.broadcast_to(poses_c[:, None], (Kt, Pp, 4, 4))
-
-            def obs_res(xi, dtheta, T0, base0, theta0, pi_o):
-                T_new = se3.se3_exp(xi) @ T0
-                pi_world = plane_retract(base0, theta0 + dtheta)
-                return err_fn(plane_geo.transform(T_new, pi_world), pi_o)
-
-            zeros6 = jnp.zeros((6,), poses.dtype)
-            zeros3 = jnp.zeros((3,), poses.dtype)
-
-            def one(T0, base0, theta0, pi_o):
-                r = obs_res(zeros6, zeros3, T0, base0, theta0, pi_o)
-                Jx = jax.jacfwd(obs_res, argnums=0)(
-                    zeros6, zeros3, T0, base0, theta0, pi_o)
-                Jt = jax.jacfwd(obs_res, argnums=1)(
-                    zeros6, zeros3, T0, base0, theta0, pi_o)
-                return r, Jx, Jt
-
-            rr, Jx, Jt = jax.vmap(jax.vmap(one))(
-                T_g, base_g, theta_g, tables.pi_obs)
+            rr, Jx, Jt = _plane_jacs(poses_c, plane_base, theta, slot,
+                                     tables.pi_obs, err_fn, poses.dtype)
             # rr (Kt, Pp, D); Jx (Kt, Pp, D, 6); Jt (Kt, Pp, D, 3)
             chi = jnp.sum(rr * rr * info_vec, axis=-1)
             w_s = huber_w(chi, gate) * tables.mask

@@ -28,6 +28,10 @@ MAX_GBA_KF = 128
 MAX_GBA_PTS = 12288
 MAX_GBA_LNS = 256
 MAX_GBA_PLS = 64
+# beyond the dense-Schur window the matrix-free PCG solver
+# (solvers/ba_pcg.py) takes over — one problem over up to 512 keyframes;
+# only past THAT does the spanning-tree out-of-window propagation kick in
+MAX_GBA_KF_PCG = 512
 
 
 def global_bundle_adjustment(slam_map, cfg: SystemConfig,
@@ -39,10 +43,12 @@ def global_bundle_adjustment(slam_map, cfg: SystemConfig,
     ids = [int(k) for k in m.valid_kf_ids()]
     if len(ids) < 3:
         return
-    if len(ids) > MAX_GBA_KF:
+    use_pcg = len(ids) > MAX_GBA_KF
+    kf_cap = MAX_GBA_KF_PCG if use_pcg else MAX_GBA_KF
+    if len(ids) > kf_cap:
         # keep KF0 + the most recent window; older poses follow via the
         # spanning tree like the reference's out-of-window propagation
-        ids = [ids[0]] + ids[-(MAX_GBA_KF - 1):]
+        ids = [ids[0]] + ids[-(kf_cap - 1):]
     pt_ids = m.local_map_points(np.asarray(ids), cap=MAX_GBA_PTS)
     if len(pt_ids) < 50:
         return
@@ -51,7 +57,7 @@ def global_bundle_adjustment(slam_map, cfg: SystemConfig,
     pl_ids = np.unique(pl_rows[pl_rows >= 0])
     pl_ids = pl_ids[m.pl_valid[pl_ids]][:MAX_GBA_PLS]
 
-    Kt = MAX_GBA_KF
+    Kt = kf_cap
     n_real = len(ids)
     fixed_mask = np.ones(Kt, np.float32)
     fixed_mask[:n_real] = 0.0
@@ -74,9 +80,14 @@ def global_bundle_adjustment(slam_map, cfg: SystemConfig,
     poses0 = np.tile(np.eye(4, dtype=np.float32), (Kt, 1, 1))
     poses0[:n_real] = m.kf_pose[ids].astype(np.float32)
 
+    solver = ba_solve
+    if use_pcg:
+        from planarslam_tpu.solvers.ba_pcg import ba_solve_pcg
+        solver = ba_solve_pcg
+
     # stage 1 (Huber) + purge + stage 2, like LBA (the reference GBA runs
     # one robust stage; the purge matches its outlier handling downstream)
-    poses1, lm1, planes1, chis = ba_solve(
+    poses1, lm1, planes1, chis = solver(
         jnp.asarray(poses0), jnp.asarray(fixed_mask), jnp.asarray(lm),
         jnp.asarray(plane_base), pt_tab, ln_tab, pl_tab, par_tab, ver_tab,
         K, bf, w, n_iters=n_iters)
@@ -91,7 +102,7 @@ def global_bundle_adjustment(slam_map, cfg: SystemConfig,
     def gated(t, keep):
         return t._replace(mask=t.mask * jnp.asarray(keep.astype(np.float32)))
 
-    poses_out, lm_out, planes_out, _ = ba_solve(
+    poses_out, lm_out, planes_out, _ = solver(
         poses1, jnp.asarray(fixed_mask), lm1, planes1,
         gated(pt_tab, pt_in), gated(ln_tab, ln_in), gated(pl_tab, pl_in),
         gated(par_tab, par_in), gated(ver_tab, ver_in),

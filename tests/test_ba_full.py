@@ -17,6 +17,7 @@ from planarslam_tpu.solvers.ba_core import (BAWeights, LineTables,
                                             PlaneTables, PointTables,
                                             ba_solve, empty_line_tables,
                                             empty_plane_tables)
+from planarslam_tpu.solvers.ba_pcg import ba_solve_pcg
 from planarslam_tpu.config import PlaneConfig
 
 CAM_K = (300.0, 310.0, 160.0, 120.0)
@@ -39,9 +40,13 @@ def make_poses(rng, Kt, spread=0.25):
     return np.stack(poses)
 
 
-def test_ba_recovers_lines_and_planes(rng):
+@pytest.mark.parametrize("solver", [ba_solve, ba_solve_pcg],
+                         ids=["dense", "pcg"])
+def test_ba_recovers_lines_and_planes(rng, solver):
     """Perturbed line endpoints + plane coefficients + poses recover from
-    perfect observations (the reference's full-BA vertex set)."""
+    perfect observations (the reference's full-BA vertex set). Runs through
+    BOTH the dense-Schur solver and the matrix-free PCG variant
+    (solvers/ba_pcg.py) — same measurement model, same convergence."""
     Kt, P_pts, NL, NP = 4, 96, 6, 3
     F = 96
     pts_gt = rng.uniform(-2, 2, (P_pts, 3)).astype(np.float32)
@@ -130,7 +135,7 @@ def test_ba_recovers_lines_and_planes(rng):
     fixed = np.zeros(Kt, np.float32)
     fixed[0] = 1.0
     w = BAWeights.from_config(PlaneConfig())
-    poses1, lm1, pl1, chis = ba_solve(
+    poses1, lm1, pl1, chis = solver(
         jnp.asarray(poses0), jnp.asarray(fixed), jnp.asarray(lm0),
         jnp.asarray(pl0), pt_tab, ln_tab, pl_tab,
         empty_plane_tables(Kt), empty_plane_tables(Kt),
@@ -162,21 +167,10 @@ def test_ba_recovers_lines_and_planes(rng):
                 f"line {i} endpoint {j} off-line by {np.linalg.norm(perp)}"
 
 
-@pytest.mark.slow
-def test_gba_long_chain_converges(rng):
-    """96-KF perturbed orbit + exact gauge fixing converges toward ground
-    truth WITHOUT any revert gate or pose prior (VERDICT round-1 item 5 —
-    round 1's solver actively diverged here and hid it behind a
-    chi2-improvement revert gate).
-
-    Geometry note: the trajectory ORBITS a shared landmark cloud so every
-    keyframe co-observes landmarks with the gauge keyframe's neighborhood —
-    ground truth is then strongly observable from the fixed KF0. (On a
-    forward-moving corridor chain, smooth accumulated drift lies in a
-    near-zero-cost valley by construction; removing it is loop closure's
-    job, not BA's, so that makes a meaningless convergence test.)"""
-    Kt, P, F = 96, 1024, 48
-    # landmark cloud around the origin
+def _orbit_problem(rng, Kt, P, F):
+    """Perturbed orbit around a shared landmark cloud (see geometry note in
+    test_gba_long_chain_converges): returns (poses_gt, pts_gt, pt_tab,
+    poses0, pts0, fixed)."""
     pts_gt = rng.normal(0, 1.5, (P, 3)).astype(np.float32)
     # cameras on a radius-6 circle, looking at the cloud center
     poses_gt = []
@@ -225,6 +219,25 @@ def test_gba_long_chain_converges(rng):
 
     fixed = np.zeros(Kt, np.float32)
     fixed[0] = 1.0
+    return poses_gt, pts_gt, pt_tab, poses0, pts0, fixed
+
+
+@pytest.mark.slow
+def test_gba_long_chain_converges(rng):
+    """96-KF perturbed orbit + exact gauge fixing converges toward ground
+    truth WITHOUT any revert gate or pose prior (VERDICT round-1 item 5 —
+    round 1's solver actively diverged here and hid it behind a
+    chi2-improvement revert gate).
+
+    Geometry note: the trajectory ORBITS a shared landmark cloud so every
+    keyframe co-observes landmarks with the gauge keyframe's neighborhood —
+    ground truth is then strongly observable from the fixed KF0. (On a
+    forward-moving corridor chain, smooth accumulated drift lies in a
+    near-zero-cost valley by construction; removing it is loop closure's
+    job, not BA's, so that makes a meaningless convergence test.)"""
+    Kt, P, F = 96, 1024, 48
+    poses_gt, pts_gt, pt_tab, poses0, pts0, fixed = _orbit_problem(
+        rng, Kt, P, F)
     w = BAWeights.from_config(PlaneConfig())
     poses1, lm1, _, chis = ba_solve(
         jnp.asarray(poses0), jnp.asarray(fixed), jnp.asarray(pts0),
@@ -239,6 +252,33 @@ def test_gba_long_chain_converges(rng):
     assert err1.mean() < 0.15 * err0.mean(), \
         f"chain error {err0.mean():.4f} -> {err1.mean():.4f}"
     assert err1.max() < 0.3 * err0.max(), \
+        f"max error {err0.max():.4f} -> {err1.max():.4f}"
+    chi = np.asarray(chis["pt"])[np.asarray(pt_tab.mask) > 0]
+    assert float(np.median(chi)) < 0.5
+
+
+@pytest.mark.slow
+def test_gba_pcg_beyond_dense_window(rng):
+    """256-KF perturbed orbit through the matrix-free PCG solver — twice
+    the dense-Schur window (global_ba.MAX_GBA_KF = 128). The dense path
+    cannot hold this problem (its (Kt, M, 6, 3) cross tensor); PCG
+    converges on it with the same gauge and LM policy."""
+    Kt, P, F = 256, 1024, 24
+    poses_gt, pts_gt, pt_tab, poses0, pts0, fixed = _orbit_problem(
+        rng, Kt, P, F)
+    w = BAWeights.from_config(PlaneConfig())
+    poses1, lm1, _, chis = ba_solve_pcg(
+        jnp.asarray(poses0), jnp.asarray(fixed), jnp.asarray(pts0),
+        jnp.zeros((0, 4), jnp.float32), pt_tab, empty_line_tables(Kt),
+        empty_plane_tables(Kt), empty_plane_tables(Kt),
+        empty_plane_tables(Kt), CAM_K, BF, w, n_iters=12)
+    poses1 = np.asarray(poses1)
+
+    err0 = np.linalg.norm(poses0[:, :3, 3] - poses_gt[:, :3, 3], axis=1)
+    err1 = np.linalg.norm(poses1[:, :3, 3] - poses_gt[:, :3, 3], axis=1)
+    assert err1.mean() < 0.2 * err0.mean(), \
+        f"chain error {err0.mean():.4f} -> {err1.mean():.4f}"
+    assert err1.max() < 0.4 * err0.max(), \
         f"max error {err0.max():.4f} -> {err1.max():.4f}"
     chi = np.asarray(chis["pt"])[np.asarray(pt_tab.mask) > 0]
     assert float(np.median(chi)) < 0.5
