@@ -117,8 +117,20 @@ class PlaneConfig:
     # jumping (path halving) coverage grows ~2^rounds, so 12 rounds span any
     # component on an 80x60 block grid — rounds are sequential device steps
     merge_rounds: int = 12
-    block_mse_sigma: float = 1.6e-6  # AHCParamSet.hpp:87 depth-dependent MSE scale
+    # AHCParamSet.hpp:87 depth-dependent MSE scale. The reference coefficient
+    # is 1.6e-6 with depth in MILLIMETERS (sigma(2.5 m) = 1.6e-6 * 2500^2 =
+    # 10 mm, the Kinect model); converted to this codebase's meters:
+    # 1.6e-6 mm^-1 * (1000 z)^2 mm^2 -> m gives 1.6e-3 * z^2.
+    # (An earlier 1.6e-6 value silently applied the mm coefficient to
+    # meters — 1000x too tight — so under sensor-model noise every block
+    # failed the gate and whole frames produced zero planes.)
+    block_mse_sigma: float = 1.6e-3
     block_mse_tol: float = 0.008  # merge tolerance (m)
+    # robust pixel-refit rounds: after the coarse distance_threshold
+    # assignment, re-gate each pixel at 2.5x its plane's own fitted sigma
+    # and refit — trims the corner wedges that tilt normals under sensor
+    # noise (see ops/planes.extract_planes)
+    refine_rounds: int = 2
     # edge-preserving box window for the plane/normal depth path (the role
     # of PCL integral-image smoothing 10, `src/Frame.cc:715-728`); 0/1 = off
     smooth_window: int = 5

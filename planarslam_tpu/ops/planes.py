@@ -223,8 +223,29 @@ def extract_planes(depth: jnp.ndarray, cam: CameraConfig, cfg: PlaneConfig
     # resolution-scaled tolerance invalidate the pixel. A slanted plane has
     # smooth jumps; occlusion boundaries do not. Resolution scaling keeps
     # grazing planes valid on downsampled test frames.
+    #
+    # The tolerance is additionally floored at ~3 standard deviations of
+    # the frame's OWN depth noise, estimated from the median absolute
+    # SECOND difference (linear surface slope cancels in a second
+    # difference, so the MAD is a pure noise statistic; /0.674/sqrt(6)
+    # converts MAD-of-sum-of-3 to per-sample sigma, fitted as sigma(z) =
+    # alpha z^2 — the Kinect model's leading term). On quantization-clean
+    # depth alpha is sub-millimeter and the geometric 0.02 z term rules, so
+    # behavior is unchanged; under real sensor noise the fixed gate
+    # shredded plane interiors at random (measured on the reference's own
+    # Kinect model at 640x480: 31% of pixels dropped, 8 of 4800 blocks
+    # left valid, whole frames with zero planes).
     res_scale = 640.0 / w
-    tol = 0.02 * res_scale * jnp.maximum(depth, 1.0)
+    z2 = jnp.maximum(depth, 1.0) ** 2
+    d2_r = jnp.abs(depth - 2 * jnp.roll(depth, -1, axis=1)
+                   + jnp.roll(depth, -2, axis=1))
+    interior = depth_ok & jnp.roll(depth_ok, -1, axis=1) \
+        & jnp.roll(depth_ok, -2, axis=1)
+    alpha = jnp.nanmedian(jnp.where(interior, d2_r / z2, jnp.nan)) \
+        / (0.674 * jnp.sqrt(6.0))
+    alpha = jnp.nan_to_num(alpha, nan=0.0)
+    tol = jnp.maximum(0.02 * res_scale * jnp.maximum(depth, 1.0),
+                      3.0 * jnp.sqrt(2.0) * alpha * z2)
     jump_r = jnp.abs(depth - jnp.roll(depth, -1, axis=1))
     jump_d = jnp.abs(depth - jnp.roll(depth, -1, axis=0))
     jump_r = jump_r.at[:, -1].set(0.0)
@@ -235,10 +256,13 @@ def extract_planes(depth: jnp.ndarray, cam: CameraConfig, cfg: PlaneConfig
     stats = _block_moments(points, depth_ok, block)
     normal_b, d_b, mse_b, mean_b = _plane_from_moments(stats.s1, stats.s2, stats.n)
 
-    # block validity: full depth coverage + low MSE (depth-dependent
-    # threshold, AHCParamSet.hpp:87 semantics)
+    # block validity: (near-)full depth coverage + low MSE (depth-dependent
+    # threshold, AHCParamSet.hpp:87 semantics). Coverage tolerates a few
+    # noise-gated pixels (the 3-sigma jump gate still drops ~0.6% at
+    # random, and demanding all block^2 would veto ~1/3 of interior blocks
+    # for sensor noise rather than geometry); the MSE gate owns quality.
     z_blk = mean_b[:, 2]
-    full = stats.n >= (block * block)
+    full = stats.n >= (block * block - 4)
     mse_thresh = (cfg.block_mse_sigma * z_blk * z_blk + cfg.block_mse_tol) ** 2
     block_valid = full & (mse_b < mse_thresh) & (z_blk > 1e-6)
 
@@ -298,32 +322,88 @@ def extract_planes(depth: jnp.ndarray, cam: CameraConfig, cfg: PlaneConfig
     cand_valid = cand_valid & ~shadowed
 
     # --- pixel-level refinement ----------------------------------------------
-    # assign each valid pixel to the nearest candidate plane
+    # assign each valid pixel to the nearest candidate plane. The band is
+    # floored at 3 sigma of the self-calibrated noise model (alpha z^2,
+    # estimated above): with a fixed distance_threshold band and sigma(z)
+    # comparable to it, the band TRUNCATES the noise distribution
+    # symmetrically around the CANDIDATE plane, so the refit inherits the
+    # candidate's error instead of averaging noise away (measured: plane d
+    # errors ~ sigma(z_mean) ~ 5 cm at 4 m instead of mse/sqrt(N)).
     pts_flat = points.reshape(-1, 3)
+    band_pix = jnp.maximum(cfg.distance_threshold,
+                           3.0 * alpha * z2).reshape(-1)
     dist_pix = jnp.abs(pts_flat @ normal_c.T + d_c[None, :])  # (HW, P)
     dist_pix = jnp.where(cand_valid[None, :], dist_pix, jnp.inf)
     best = jnp.argmin(dist_pix, axis=-1)
     best_dist = jnp.take_along_axis(dist_pix, best[:, None], axis=-1)[:, 0]
-    assigned = (best_dist < cfg.distance_threshold) & depth_ok.reshape(-1)
+    assigned = (best_dist < band_pix) & depth_ok.reshape(-1)
     label_pix = jnp.where(assigned, best, p_cap).astype(jnp.int32)
 
     # refit from pixel moments with a one-hot matmul (MXU)
-    one_hot = jax.nn.one_hot(label_pix, p_cap + 1, dtype=jnp.float32)  # (HW, P+1)
     x, y, z = pts_flat[:, 0], pts_flat[:, 1], pts_flat[:, 2]
     feats = jnp.stack([x, y, z, x * x, x * y, x * z, y * y, y * z, z * z,
                        jnp.ones_like(x)], axis=-1)  # (HW, 10)
-    agg = one_hot.T @ feats  # (P+1, 10)
-    s1_p = agg[:p_cap, :3]
-    s2_p = jnp.stack([
-        jnp.stack([agg[:p_cap, 3], agg[:p_cap, 4], agg[:p_cap, 5]], -1),
-        jnp.stack([agg[:p_cap, 4], agg[:p_cap, 6], agg[:p_cap, 7]], -1),
-        jnp.stack([agg[:p_cap, 5], agg[:p_cap, 7], agg[:p_cap, 8]], -1),
-    ], axis=-2)
-    n_p = agg[:p_cap, 9]
-    normal_f, d_f, mse_f, mean_f = _plane_from_moments(s1_p, s2_p, n_p)
+
+    def refit(labels):
+        one_hot = jax.nn.one_hot(labels, p_cap + 1, dtype=jnp.float32)
+        agg = one_hot.T @ feats  # (P+1, 10)
+        s1_p = agg[:p_cap, :3]
+        s2_p = jnp.stack([
+            jnp.stack([agg[:p_cap, 3], agg[:p_cap, 4], agg[:p_cap, 5]], -1),
+            jnp.stack([agg[:p_cap, 4], agg[:p_cap, 6], agg[:p_cap, 7]], -1),
+            jnp.stack([agg[:p_cap, 5], agg[:p_cap, 7], agg[:p_cap, 8]], -1),
+        ], axis=-2)
+        n_p = agg[:p_cap, 9]
+        return _plane_from_moments(s1_p, s2_p, n_p) + (n_p,)
+
+    normal_f, d_f, mse_f, mean_f, n_p = refit(label_pix)
+
+    # robust re-assign + re-gated refit (the role of PEAC's refineDetails,
+    # `AHCPlaneFitter.hpp`): each round re-assigns every pixel to its
+    # NEAREST refined plane and keeps it only within 2.5x that plane's own
+    # fitted sigma (~p99 of an inlier Gaussian, self-scaling from
+    # quantization-clean to noisy sensors; 1 mm floor against degenerate
+    # all-identical fits), then refits from pixel moments. This both trims
+    # the corner wedges the coarse band admits (they tilt normals under
+    # sensor noise) and starves ghost candidates — tilted fits through a
+    # noise slab lose their support to the honest plane they cross and die
+    # at the final count/mse gate.
+    depth_ok_flat = depth_ok.reshape(-1)
+    cos25 = jnp.float32(0.9063)  # cos(25 deg)
+    for _ in range(cfg.refine_rounds):
+        # ghost merge: a candidate whose CENTROID lies inside a bigger
+        # plane's noise band (and within 25 deg of its normal) is a slice
+        # of that plane's noise cloud, not a surface — drop it so the next
+        # re-assignment hands its pixels to the honest plane. Truly
+        # distinct parallel surfaces (table over floor) keep centroids
+        # well outside each other's bands and survive.
+        alive = cand_valid & (n_p > 3)
+        cosm = normal_f @ normal_f.T
+        cen_d = jnp.abs(mean_f @ normal_f.T + d_f[None, :])  # [j, i]
+        band_j = jnp.maximum(cfg.distance_threshold,
+                             3.0 * alpha * jnp.maximum(mean_f[:, 2], 1.0)
+                             ** 2)
+        bigger = n_p[None, :] > n_p[:, None]                 # i bigger than j
+        shadow = (alive[None, :] & alive[:, None] & bigger
+                  & (cosm > cos25) & (cen_d < band_j[:, None]))
+        alive = alive & ~shadow.any(axis=1)
+
+        tau = jnp.maximum(2.5 * jnp.sqrt(jnp.maximum(mse_f, 0.0)), 1e-3)
+        dist_r = jnp.abs(pts_flat @ normal_f.T + d_f[None, :])
+        dist_r = jnp.where(alive[None, :], dist_r, jnp.inf)
+        best_r = jnp.argmin(dist_r, axis=-1)
+        best_rd = jnp.take_along_axis(dist_r, best_r[:, None], axis=-1)[:, 0]
+        keep = (best_rd < jnp.minimum(tau[best_r], band_pix)) & depth_ok_flat
+        label_pix = jnp.where(keep, best_r, p_cap).astype(jnp.int32)
+        normal_f, d_f, mse_f, mean_f, n_p = refit(label_pix)
+        cand_valid = cand_valid & alive
 
     count = n_p.astype(jnp.int32)
-    valid = cand_valid & (count >= cfg.min_size) & (mse_f < cfg.distance_threshold ** 2)
+    # final quality gate, noise-scaled like the pixel band: an honest plane
+    # at depth z has mse ~ (alpha z^2)^2 under the calibrated noise model
+    mse_gate = jnp.maximum(cfg.distance_threshold,
+                           2.0 * alpha * mean_f[:, 2] ** 2) ** 2
+    valid = cand_valid & (count >= cfg.min_size) & (mse_f < mse_gate)
     coeffs = jnp.concatenate([normal_f, d_f[:, None]], axis=-1)
     coeffs = plane_geo.normalize(coeffs)
     coeffs = jnp.where(valid[:, None], coeffs, 0.0)
