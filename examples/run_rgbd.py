@@ -38,6 +38,9 @@ def main() -> int:
                     help="sleep to sensor rate like the reference main loop")
     ap.add_argument("--out-dir", default=".")
     ap.add_argument("--save-mesh", action="store_true")
+    ap.add_argument("--save-html", action="store_true",
+                    help="write map.html, the self-contained interactive "
+                         "3D map viewer (Pangolin-viewer role)")
     ap.add_argument("--chunk", type=int, default=1,
                     help="frames per device program (throughput mode; "
                          "pose output lags up to 2*chunk frames)")
@@ -46,7 +49,17 @@ def main() -> int:
     ap.add_argument("--depth-noise", type=float, default=0.0,
                     help="synthetic Kinect noise scale (1.0 = the reference"
                          " sigma(z) model, src/LineExtractor.cpp:1182)")
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="force the JAX backend (e.g. cpu to run without "
+                         "an accelerator; must be set before first use)")
     args = ap.parse_args()
+
+    if args.platform:
+        # must land before any jax backend init; env vars alone are not
+        # reliable under site customizations that pre-set jax_platforms
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from planarslam_tpu.config import SystemConfig, load_yaml_config
     from planarslam_tpu.slam.system import System
@@ -126,6 +139,11 @@ def main() -> int:
         os.path.join(args.out_dir, cfg.save_path_keyframe))
     if args.save_mesh:
         slam.save_mesh(os.path.join(args.out_dir, "mesh.ply"))
+    if args.save_html:
+        from planarslam_tpu.viz.html_viewer import export_map_html
+
+        export_map_html(os.path.join(args.out_dir, "map.html"), slam.map,
+                        trajectory=slam.frame_poses_wc()[:, :3, 3])
 
     if gt is not None:
         from planarslam_tpu.evaluation.ate import ate_rmse

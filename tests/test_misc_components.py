@@ -112,6 +112,25 @@ def test_viz_outputs(tmp_path):
         assert magic == b"\x89PNG\r\n\x1a\n"
         assert np.fromfile(p, np.uint8).size > 1000
 
+    # interactive single-file HTML viewer (reference Viewer/MapDrawer role):
+    # payload embeds every layer and the JSON round-trips
+    import json
+
+    from planarslam_tpu.viz.html_viewer import export_map_html, map_payload
+
+    hp = str(tmp_path / "map.html")
+    traj = slam.frame_poses_wc()[:, :3, 3]
+    export_map_html(hp, slam.map, trajectory=traj)
+    html = open(hp).read()
+    assert "<canvas" in html and "orbit" in html
+    payload = json.loads(html.split("const DATA = ", 1)[1]
+                         .split(";\n", 1)[0])
+    direct = map_payload(slam.map, traj)
+    assert payload.keys() == direct.keys()
+    assert len(payload["points"]) > 50
+    assert len(payload["frusta"]) == int(slam.map.kf_valid.sum())
+    assert len(payload["traj"]) == len(traj)
+
 
 def test_sim3_refinement(rng):
     from planarslam_tpu.solvers.sim3_solver import refine_relative_se3

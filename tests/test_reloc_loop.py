@@ -489,3 +489,75 @@ def test_loop_candidates_reject_dissimilar_keyframes(rng):
     db.add(m, kf)
     cands = db.loop_candidates(m, kf)
     assert 0 in cands, f"revisit of KF0 not retrieved: {cands}"
+
+
+def test_perceptual_aliasing_scaled_room_rejected():
+    """Perceptual aliasing (round-2 VERDICT weak #6): a second room with
+    IDENTICAL decor at 1.5x the size, viewed from a 1.5x-scaled viewpoint,
+    yields near-identical IMAGES (so appearance retrieval proposes the
+    cross-room candidates) but 3D geometry no SE(3) can explain. The
+    geometric verification chain (Horn RANSAC -> >=40 guided-rematch gate,
+    the reference's Sim3 defense `src/LoopClosing.cc:231-400`) must reject:
+    no loop closed, no loop edge stored, no pose touched."""
+    import dataclasses
+
+    from planarslam_tpu.io import synthetic
+    from planarslam_tpu.slam.system import System
+
+    cfg = SystemConfig.tiny()
+    cfg = cfg.replace(loop=dataclasses.replace(
+        cfg.loop, min_kf_gap=2, consistency_threshold=1))
+
+    # room A: build a real map by tracking
+    seq_a = synthetic.make_sequence(n_frames=16, width=cfg.camera.width,
+                                    height=cfg.camera.height)
+    slam = System(config=cfg, enable_loop_closing=True)
+    for i in range(len(seq_a)):
+        g, d = seq_a.render(i)
+        slam.track_rgbd(g, d, seq_a.timestamps[i])
+    m = slam.map
+    assert m.n_kf >= 4, "room-A map too small for the test premise"
+
+    # room B: SAME texture stream (seed 0) scaled 1.5x, camera scaled to
+    # match -> the aliased twin. (The two box faces keep their absolute
+    # size/position, so B is not even a similarity transform of A.)
+    planes_b = synthetic.make_room(seed=0, size=6.0)
+    ts_b, poses_b = synthetic.make_trajectory(16, kind="arc", seed=0)
+    poses_b = poses_b.copy()
+    poses_b[:, :3, 3] *= 1.5
+    seq_b = synthetic.SyntheticSequence(
+        planes_b, poses_b, ts_b, seq_a.fx, seq_a.fy, seq_a.cx, seq_a.cy,
+        seq_a.width, seq_a.height)
+
+    # extract room-B features with the real front end (first KF of a fresh
+    # system), then graft that snapshot into map A as the current KF
+    slam_b = System(config=cfg)
+    for i in range(2):
+        g, d = seq_b.render(i)
+        slam_b.track_rgbd(g, d, seq_b.timestamps[i])
+    mb = slam_b.map
+    assert mb.n_kf >= 1
+
+    kf = m.alloc_keyframe()
+    m.kf_valid[kf] = True
+    for arr in ("kf_uv", "kf_ur", "kf_depth", "kf_level", "kf_angle",
+                "kf_desc", "kf_feat_valid"):
+        getattr(m, arr)[kf] = getattr(mb, arr)[0]
+    m.kf_pt_idx[kf] = -1
+    m.kf_parent[kf] = m.n_kf - 2
+    m.kf_pose[kf] = mb.kf_pose[0]
+
+    lc = slam.loop_closer
+    lc.db.add(m, kf)
+    # premise: the aliased views ARE retrieved (appearance can't tell the
+    # rooms apart) — otherwise this test would not exercise verification
+    cand = lc.db.loop_candidates(m, kf)
+    assert cand, "aliased room-B view was not retrieved from room A — " \
+                 "test premise broken (textures too dissimilar?)"
+
+    poses_before = m.kf_pose[:m.n_kf].copy()
+    accepted = lc.process_keyframe(kf)
+    assert accepted is None, \
+        f"false loop accepted between distinct rooms (loop KF {accepted})"
+    assert int(m.n_loop_edges) == 0
+    np.testing.assert_array_equal(m.kf_pose[:m.n_kf], poses_before)
