@@ -1297,6 +1297,11 @@ class Tracking:
         """Reference `Tracking::NeedNewKeyFrame` (`src/Tracking.cc:2049`)."""
         cfg = self.cfg
         if self.only_tracking:
+            # localization mode: no KFs, no map mutation. The reference
+            # additionally deletes its temporal VO points here
+            # (`src/Tracking.cc:320-372`); this build never materializes
+            # temporal points as map entries (the VO carry lives in the
+            # device frame state), so there is nothing to clean up.
             return False
         if self.map.n_kf >= self.map.n_kf_slots - 1:
             return False
