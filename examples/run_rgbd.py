@@ -2,7 +2,7 @@
 """RGB-D SLAM driver — the reference CLI (`Examples/RGB-D/main.cc:15-124`).
 
 Usage (TUM/ICL dataset):
-    python examples/run_rgbd.py --settings Examples/TUM3.yaml \
+    python examples/run_rgbd.py --settings examples/settings/TUM3.yaml \
         --sequence /data/rgbd_dataset_freiburg3_structure_texture_far \
         --associations associations.txt
 

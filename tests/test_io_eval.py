@@ -121,3 +121,26 @@ def test_tiny_config_shapes():
     cfg = SystemConfig.tiny()
     assert cfg.camera.width == 160 and cfg.camera.height == 120
     assert cfg.orb.max_keypoints == 256
+
+
+def test_shipped_settings_files_load():
+    """The five dataset settings files under examples/settings/ parse and
+    carry the published calibrations (reference Examples/RGB-D/*.yaml
+    roles): TUM1/2 with real distortion, TUM3 rectified, ICL's negative fy,
+    TAMU; per-dataset plane thresholds (ICL MinSize 500 / dist 0.03)."""
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "settings")
+    cfgs = {n: load_yaml_config(os.path.join(root, f"{n}.yaml"))
+            for n in ("TUM1", "TUM2", "TUM3", "ICL", "TAMU")}
+    assert cfgs["TUM1"].camera.k1 != 0.0 and cfgs["TUM1"].camera.k3 != 0.0
+    assert cfgs["TUM2"].camera.depth_map_factor == 5208.0
+    assert cfgs["TUM3"].camera.fx == 535.4 and cfgs["TUM3"].camera.k1 == 0.0
+    assert cfgs["ICL"].camera.fy == -480.0
+    assert cfgs["ICL"].planes.min_size == 500
+    assert cfgs["ICL"].planes.distance_threshold == 0.03
+    assert cfgs["TAMU"].camera.fx == 525.0
+    for c in cfgs.values():
+        assert c.orb.n_features == 1000 and c.orb.n_levels == 8
+        assert c.planes.chi == 100.0
