@@ -52,6 +52,15 @@ def main() -> int:
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force the JAX backend (e.g. cpu to run without "
                          "an accelerator; must be set before first use)")
+    ap.add_argument("--save-map", metavar="PATH",
+                    help="serialize the final map checkpoint (the "
+                         "reference's System::SaveMap TODO)")
+    ap.add_argument("--load-map", metavar="PATH",
+                    help="start from a map checkpoint (kidnapped-robot "
+                         "start: tracker begins LOST and relocalizes)")
+    ap.add_argument("--localization", action="store_true",
+                    help="localization-only mode: track against the map "
+                         "without mutating it (System::ActivateLocalizationMode)")
     args = ap.parse_args()
 
     if args.platform:
@@ -71,6 +80,10 @@ def main() -> int:
         cfg = cfg.replace(tracking=dataclasses.replace(
             cfg.tracking, chunk_size=args.chunk))
     slam = System(config=cfg)
+    if args.load_map:
+        slam.load_map(args.load_map)
+    if args.localization:
+        slam.activate_localization_mode()
 
     os.makedirs(args.out_dir, exist_ok=True)
     feature_log = open(os.path.join(args.out_dir, "Feature_plp.txt"), "a")
@@ -139,6 +152,8 @@ def main() -> int:
         os.path.join(args.out_dir, cfg.save_path_keyframe))
     if args.save_mesh:
         slam.save_mesh(os.path.join(args.out_dir, "mesh.ply"))
+    if args.save_map:
+        slam.save_map(args.save_map)
     if args.save_html:
         from planarslam_tpu.viz.html_viewer import export_map_html
 

@@ -913,16 +913,25 @@ class Tracking:
             return True
         if self.new_plane_flag:
             return True
-        tracked_close, nontracked_close, _, n_tracked = [
-            int(v) for v in kf_stats]
+        tracked_close, nontracked_close, _, _ = [int(v) for v in kf_stats]
         need_close = tracked_close < 100 and nontracked_close > 70
         min_obs = 3 if self.map.n_kf > 2 else 2
         ref_row = self.map.kf_pt_idx[self.ref_kf]
         ref_pts = ref_row[ref_row >= 0]
         ref_pts = ref_pts[self.map.pt_valid[ref_pts]]
         ref_obs = int((self.map.pt_nobs[ref_pts] >= min_obs).sum())
-        weak = n_tracked < 0.75 * max(ref_obs, 1)
-        return (weak or need_close) and n_tracked > 15 and frames_since >= 1
+        # the weak-tracking ratio counts MAP-point associations only, like
+        # the reference's mnMatchesInliers (`src/Tracking.cc:1744-1747`:
+        # only points with Observations()>0 count — temporal VO matches do
+        # NOT). The device kf_stats "tracked" includes the temporal carry,
+        # which kept this rule from ever firing: keyframes then arrive so
+        # rarely that young landmarks mass-fail the 3-observer culling rule
+        # and the early map hollows out (9-association keyframes).
+        # Reference philosophy is the opposite: insert liberally, let
+        # keyframe culling remove redundancy later.
+        n_map = int((cur_map_pt >= 0).sum())
+        weak = n_map < 0.75 * max(ref_obs, 1)
+        return (weak or need_close) and n_map > 15 and frames_since >= 1
 
     # ------------------------------------------------------- relocalization
     def _reloc_guided_pass(self, feats: FrameFeatures, kf_c: int,
@@ -933,9 +942,19 @@ class Tracking:
         reloc variant `src/ORBmatcher.cc:1537`): project ALL of the
         candidate keyframe's landmarks through the current pose estimate,
         window-match, merge with the existing associations, re-optimize.
-        Returns (T, cur_map_pt, n_inliers)."""
+        Returns (T, cur_map_pt, n_inliers).
+
+        Two RGB-D hardenings over the reference's 2D-only search: the
+        window radius is resolution-scaled (the reference's th=10/th=3 are
+        640-px-calibrated; at smaller frames the same pixel radius spans a
+        whole texture tile and admits lattice-aliased matches), and guided
+        matches with frame depth must agree with the landmark IN 3D at the
+        current pose — on repetitive planar texture the aliased matches sit
+        one lattice pitch away in 3D even when their reprojection and depth
+        both look consistent."""
         cfg = self.cfg
         m = self.map
+        cam = cfg.camera
         Kp = cfg.orb.max_keypoints
         row = m.kf_pt_idx[kf_c]
         lm = np.unique(row[row >= 0])
@@ -954,10 +973,22 @@ class Tracking:
             feat_uv=feats.points.uv, feat_desc=feats.points.desc,
             feat_level=feats.points.level, feat_valid=feats.points.valid,
             feat_ur=feats.points.u_right,
-            radius=radius, max_dist=max_dist,
+            radius=radius * cam.width / 640.0, max_dist=max_dist,
             level_window=cfg.orb.n_levels)
         idx = np.asarray(res.idx)
         ok = idx >= 0
+        # 3D-consistency gate (see docstring): landmark position in the
+        # estimated camera frame vs the feature's own backprojection
+        depth_f = np.asarray(feats.points.depth)
+        uv_f = np.asarray(feats.points.uv)
+        pc_lm = m.pt_xyz[pad_ids] @ T_est[:3, :3].T + T_est[:3, 3]
+        fi = np.clip(idx, 0, Kp - 1)
+        z_f = depth_f[fi]
+        xb = (uv_f[fi, 0] - cam.cx) / cam.fx * z_f
+        yb = (uv_f[fi, 1] - cam.cy) / cam.fy * z_f
+        p_f = np.stack([xb, yb, z_f], -1)
+        d3 = np.linalg.norm(pc_lm - p_f, axis=-1)
+        ok = ok & ((z_f <= 0) | (d3 < np.maximum(0.08, 0.05 * z_f)))
         merged = cur_map_pt.copy()
         # new matches fill features the strict pass left unassociated;
         # landmarks already associated elsewhere are not double-assigned
@@ -1005,6 +1036,17 @@ class Tracking:
                 jnp.asarray(has_pt), feats.points.valid,
                 max_dist=cfg.matcher.th_low, ratio=0.9)
             idx = np.asarray(res.idx)
+            # rotation-consistency on the seed matches (reference reloc
+            # SearchByBoW runs with mbCheckOrientation, `src/Tracking.cc:
+            # 2587` -> `src/ORBmatcher.cc:50`): on repetitive texture the
+            # wrong matches scatter in relative angle while true ones
+            # agree — without this the Horn seed can lock onto a
+            # wrong-but-consistent cluster metres from the true pose
+            ang_tgt = np.asarray(feats.points.angle)[np.clip(idx, 0, None)]
+            rot_ok = np.asarray(matching.rotation_histogram_filter(
+                jnp.asarray(m.kf_angle[c]), jnp.asarray(ang_tgt),
+                jnp.asarray(idx >= 0)))
+            idx = np.where(rot_ok, idx, -1)
             ok = idx >= 0
             # >=8 strict matches suffice to seed a pose — the guided
             # rematch below recovers the rest on strong viewpoint change
@@ -1019,41 +1061,62 @@ class Tracking:
             # only needed when the query has no depth)
             z = depth[feat_ids]
             has_z = z > 0
+            accept = cfg.tracking.reloc_min_inliers
             if has_z.sum() >= 8:
                 x = (uv[feat_ids, 0] - cam.cx) / cam.fx * z
                 y = (uv[feat_ids, 1] - cam.cy) / cam.fy * z
                 pc = np.stack([x, y, z], -1).astype(np.float32)[has_z]
-                T, n_inl, _ = horn_ransac_se3(
+                T, n_inl, horn_inl = horn_ransac_se3(
                     m.pt_xyz[pt_ids][has_z], pc, threshold=0.08)
+                if n_inl < 8:
+                    continue
+                # keep the Horn CONSENSUS as the seed associations and do
+                # NOT run a reprojection LM yet: the consensus can be
+                # coplanar (one wall), where reprojection+stereo residuals
+                # admit a whole slide-along-the-plane pose valley (measured:
+                # LM walked a GT seed 2 m down the valley with all
+                # residuals < 2 px). Horn's 3D-3D form used the frame's own
+                # depth and is unambiguous; the guided pass below widens
+                # the match set with off-plane points before the first LM.
+                keep = np.zeros(len(feat_ids), bool)
+                keep[np.flatnonzero(has_z)[np.asarray(horn_inl, bool)]] = True
+                pt_ids = pt_ids[keep]
+                feat_ids = feat_ids[keep]
+                T_est = np.asarray(T, np.float32)
+                cur = np.full(cfg.orb.max_keypoints, -1, np.int32)
+                cur[feat_ids] = pt_ids
             else:
                 T, _, n_inl = pnp_ransac(
                     m.pt_xyz[pt_ids], uv[feat_ids],
                     np.ones(len(pt_ids), bool), self.K,
                     inv_sigma2=self.inv_level_sigma2[lvl[feat_ids]])
-            if n_inl < 8:
-                continue
-            # refine with the pose optimizer over all matches (its chi2
-            # gating re-classifies outliers, reference `:2654-2689`)
-            cur_map_pt = np.full(cfg.orb.max_keypoints, -1, np.int32)
-            cur_map_pt[feat_ids] = pt_ids
-            obs = self._point_obs_from_matches(
-                feats, m.pt_xyz[np.clip(cur_map_pt, 0, None)],
-                np.where(cur_map_pt >= 0,
-                         np.arange(cfg.orb.max_keypoints), -1))
-            result = self._run_pose_opt(T, points=obs)
-            n_good = int(result.n_point_inliers)
-            T_est = np.asarray(result.T_cw)
-            inlier_mask = np.asarray(result.point_inlier)
-            cur = np.where(inlier_mask | (cur_map_pt < 0), cur_map_pt, -1)
-            accept = cfg.tracking.reloc_min_inliers
+                if n_inl < 8:
+                    continue
+                # refine with the pose optimizer over all matches (chi2
+                # gating re-classifies outliers, reference `:2654-2689`)
+                cur_map_pt = np.full(cfg.orb.max_keypoints, -1, np.int32)
+                cur_map_pt[feat_ids] = pt_ids
+                obs = self._point_obs_from_matches(
+                    feats, m.pt_xyz[np.clip(cur_map_pt, 0, None)],
+                    np.where(cur_map_pt >= 0,
+                             np.arange(cfg.orb.max_keypoints), -1))
+                result = self._run_pose_opt(T, points=obs)
+                if int(result.n_point_inliers) < 10:  # ref `:2641`
+                    continue
+                T_est = np.asarray(result.T_cw)
+                inlier_mask = np.asarray(result.point_inlier)
+                cur = np.where(inlier_mask | (cur_map_pt < 0),
+                               cur_map_pt, -1)
+            # coarse guided rematch: wide window, permissive threshold
+            # (reference th=10, ORB dist 100, `src/Tracking.cc:2648`) —
+            # run unconditionally: it both recovers matches on viewpoint
+            # change and, after a Horn seed, breaks the coplanar
+            # degeneracy before the first reprojection LM
+            T_est, cur, n_good = self._reloc_guided_pass(
+                feats, c, T_est, cur, radius=10.0,
+                max_dist=cfg.matcher.th_high)
             if n_good < 10:  # reference gate (`src/Tracking.cc:2641`)
                 continue
-            if n_good < accept:
-                # coarse guided rematch: wide window, permissive threshold
-                # (reference th=10, ORB dist 100, `src/Tracking.cc:2648`)
-                T_est, cur, n_good = self._reloc_guided_pass(
-                    feats, c, T_est, cur, radius=10.0,
-                    max_dist=cfg.matcher.th_high)
             if accept // 2 <= n_good < accept:
                 # narrow re-search around the improved pose (reference
                 # th=3, ORB dist 64, `src/Tracking.cc:2665-2676`)
@@ -1075,8 +1138,12 @@ class Tracking:
         return None
 
     def _n_frustum_landmarks(self, kf_c: int, T_est: np.ndarray) -> int:
-        """How many of a keyframe's landmarks project into the image at the
-        given pose (denominator of the relocalization coverage check)."""
+        """How many of a keyframe's landmarks are FINDABLE at the given
+        pose (denominator of the relocalization coverage check): inside the
+        image AND passing the same scale-range and viewing-cone gates the
+        projection matcher applies (reference isInFrustum,
+        `src/Frame.cc:250-302`) — landmarks the matcher would never
+        consider must not count against coverage."""
         m = self.map
         cam = self.cfg.camera
         row = m.kf_pt_idx[kf_c]
@@ -1088,8 +1155,15 @@ class Tracking:
         z = np.maximum(pc[:, 2], 1e-6)
         u = cam.fx * pc[:, 0] / z + cam.cx
         v = cam.fy * pc[:, 1] / z + cam.cy
+        cam_center = -T_est[:3, :3].T @ T_est[:3, 3]
+        vec = m.pt_xyz[lm] - cam_center
+        dist = np.maximum(np.linalg.norm(vec, axis=1), 1e-6)
+        in_range = ((dist >= 0.8 * m.pt_min_dist[lm])
+                    & (dist <= 1.2 * m.pt_max_dist[lm]))
+        cosv = (vec * m.pt_normal[lm]).sum(axis=1) / dist
         return int(((pc[:, 2] > 0.05) & (u >= 0) & (u < cam.width)
-                    & (v >= 0) & (v < cam.height)).sum())
+                    & (v >= 0) & (v < cam.height)
+                    & in_range & (cosv > 0.5)).sum())
 
     # ------------------------------------------------------ local map tracking
     def _track_local_map(self, feats: FrameFeatures, cur_map_pt: np.ndarray
@@ -1391,6 +1465,8 @@ class Tracking:
             m.pt_first_kf[ids] = kf
             m.kf_pt_idx[kf, new_feats] = ids
 
+        self._enrich_kf_associations(kf)
+
         # lines: carry matches, create new map lines for unmatched 3D lines
         m.kf_ln_idx[kf] = cur_map_ln
         has3d = np.asarray(feats.lines.has_3d) & np.asarray(feats.lines.valid)
@@ -1456,6 +1532,57 @@ class Tracking:
 
         m.update_covisibility(kf)
         return kf
+
+    def _enrich_kf_associations(self, kf: int) -> int:
+        """Bind the new keyframe to every local-map point it actually sees
+        (reference `ProcessNewKeyFrame` registering the frame's bindings
+        `src/LocalMapping.cc:58-93` + the current-KF direction of
+        `SearchInNeighbors` `:1090-1110`). The fused tracker's temporal
+        carry only preserves a landmark id while its feature stays
+        frame-frame matched, so by keyframe time the tracked row can be far
+        sparser than what the frame observes — starving pt_nobs (young
+        points get mass-culled at the next keyframe), covisibility, BA and
+        relocalization coverage. One device transaction per keyframe."""
+        from planarslam_tpu.slam.device_mapper import run_fuse_set
+
+        m = self.map
+        cfg = self.cfg
+        cam = cfg.camera
+        row = m.kf_pt_idx[kf]
+        taken = set(int(p) for p in row[row >= 0])
+        cand = np.flatnonzero(m.pt_valid)
+        if len(cand) == 0:
+            return 0
+        # host-side frustum pre-filter at the KF pose (numpy, cheap)
+        T = m.kf_pose[kf]
+        pc = m.pt_xyz[cand] @ T[:3, :3].T + T[:3, 3]
+        z = pc[:, 2]
+        u = cam.fx * pc[:, 0] / np.maximum(z, 1e-6) + cam.cx
+        v = cam.fy * pc[:, 1] / np.maximum(z, 1e-6) + cam.cy
+        vis = ((z > 0.05) & (u >= 0) & (u < cam.width)
+               & (v >= 0) & (v < cam.height))
+        cand = cand[vis & ~np.isin(cand, list(taken))]
+        if len(cand) == 0:
+            return 0
+        if len(cand) > cfg.orb.max_keypoints:
+            # nearest first: their windows are tightest and most reliable
+            d = np.linalg.norm(m.pt_xyz[cand] - (-T[:3, :3].T @ T[:3, 3]),
+                               axis=1)
+            cand = cand[np.argsort(d)][:cfg.orb.max_keypoints]
+        res = run_fuse_set(m, cand, [kf], cfg, radius=6.0)
+        idx = res["idx"][0]
+        ok = (idx >= 0) & res["lm_valid"]
+        added = 0
+        for s in np.flatnonzero(ok):
+            p = int(res["lm_ids"][s])
+            f = int(idx[s])
+            if m.kf_pt_idx[kf, f] >= 0 or p in taken:
+                continue
+            m.kf_pt_idx[kf, f] = p
+            m.pt_nobs[p] += 1
+            taken.add(p)
+            added += 1
+        return added
 
     # the tracking loop stashes the raw depth for plane-cloud sampling
     _last_depth: np.ndarray = np.zeros((1, 1), np.float32)

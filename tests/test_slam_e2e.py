@@ -323,3 +323,34 @@ def test_full_resolution_bench_config_smoke():
     assert m.pt_valid.sum() > 300
     assert m.pl_valid.sum() >= 3
     assert m.ln_valid.sum() >= 1
+
+
+def test_keyframe_association_richness():
+    """Keyframes must stay richly bound to the map (round-3 fix): the
+    fused tracker's temporal carry only preserves a landmark id while its
+    feature stays frame-frame matched, so with the old device-counted KF
+    policy the weak-tracking rule never fired, keyframes arrived rarely,
+    young landmarks mass-failed the 3-observer culling rule, and early
+    keyframes ended with ~9 associations — hollowing covisibility, BA and
+    relocalization coverage. With the map-association policy count
+    (reference mnMatchesInliers counts Observations()>0 only,
+    `src/Tracking.cc:1744-1747`) plus creation-time association enrichment
+    (ProcessNewKeyFrame role, `src/LocalMapping.cc:58-93`), every surviving
+    keyframe keeps a usable association set."""
+    cfg = SystemConfig.tiny()
+    seq = synthetic.make_sequence(n_frames=24, width=cfg.camera.width,
+                                  height=cfg.camera.height)
+    slam = System(config=cfg)
+    for i in range(len(seq)):
+        g, d = seq.render(i)
+        slam.track_rgbd(g, d, seq.timestamps[i])
+    slam.shutdown()
+    m = slam.map
+    kf_ids = m.valid_kf_ids()
+    # the weak-tracking rule must actually fire on this fast arc
+    assert len(kf_ids) >= 5, f"only {len(kf_ids)} KFs — policy not firing"
+    for k in kf_ids:
+        row = m.kf_pt_idx[k]
+        n_assoc = int(((row >= 0)
+                       & m.pt_valid[np.clip(row, 0, None)]).sum())
+        assert n_assoc >= 10, f"KF{k} hollowed out: {n_assoc} associations"
