@@ -19,6 +19,15 @@ Design stance (see SURVEY.md §7):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compile cache: the fused per-frame program takes minutes
+# to compile on a weak host CPU; caching it makes every process after the
+# first (bench runs, CLI runs, profilers) start hot. Opt out by setting
+# JAX_COMPILATION_CACHE_DIR="" in the environment.
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/planarslam_jax_cache")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
 import jax as _jax
 
 # Geometry/solver math is precision-critical (float32 poses, metre-scale

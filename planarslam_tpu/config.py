@@ -188,8 +188,14 @@ class TrackingConfig:
     # >1 runs C sequential frames per device program (one upload/execute/
     # pull per chunk) — throughput mode for transaction-latency-bound
     # deployments (e.g. a host<->TPU tunnel); pose output + map updates lag
-    # up to 2C frames. 1 = per-frame streaming with the depth-2 pipeline.
+    # up to 2C frames. 1 = per-frame streaming with the pipelined tracker.
     chunk_size: int = 1
+    # streaming mode: frames in flight before the tracker blocks on the
+    # oldest frame's D2H pull. Higher depth hides more of the tunnel's
+    # round-trip latency at the cost of map updates / KF decisions lagging
+    # that many frames (the reference's async LocalMapping has the same
+    # kind of lag). Host-side only — changing it never recompiles.
+    pipeline_depth: int = 2
 
 
 @dataclass(frozen=True)

@@ -541,6 +541,45 @@ def fused_track_chunk_packed(
                              weights, cfg)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def fused_track_step_packed(
+    frame_u8: jnp.ndarray,     # (3, H, W) uint8: [gray, depth_lo, depth_hi]
+    T_override: jnp.ndarray,
+    use_override: jnp.ndarray,
+    R_wm: jnp.ndarray,
+    manh_enabled: jnp.ndarray,
+    last: LastState,
+    win_flat: jnp.ndarray,
+    weights: pose_opt.PoseOptWeights,
+    cfg: SystemConfig,
+) -> StepResult:
+    """fused_track_step over ONE packed sensor upload (streaming mode).
+
+    The tunnel's per-transaction service time applies to every H2D buffer;
+    shipping uint8 gray + uint16 depth byte-planes as a single (3, H, W)
+    uint8 array halves the per-frame upload transactions (same trick as
+    fused_track_chunk_packed, applied to the per-frame path)."""
+    gray = frame_u8[0]
+    depth16 = (frame_u8[1].astype(jnp.uint16)
+               | (frame_u8[2].astype(jnp.uint16) << 8))
+    return fused_track_step(gray, depth16, T_override, use_override, R_wm,
+                            manh_enabled, last, win_flat, weights, cfg)
+
+
+def pack_frame(gray: np.ndarray, depth: np.ndarray):
+    """Host-side packing for fused_track_step_packed; None when the raw
+    dtypes are not the native uint8/uint16 sensor formats."""
+    if gray.dtype != np.uint8 or depth.dtype != np.uint16:
+        return None
+    H, W = gray.shape
+    out = np.empty((3, H, W), np.uint8)
+    out[0] = gray
+    dv = np.ascontiguousarray(depth).view(np.uint8).reshape(H, W, 2)
+    out[1] = dv[..., 0]
+    out[2] = dv[..., 1]
+    return out
+
+
 def pack_chunk_frames(grays: list, depths: list):
     """Host-side packing for fused_track_chunk_packed; returns None when the
     raw dtypes are not the native uint8/uint16 sensor formats."""

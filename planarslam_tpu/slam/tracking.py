@@ -146,7 +146,7 @@ class Tracking:
         # D2H copy have finished — neither the compute wait nor the tunnel
         # RTT serializes the loop (the reference gets the same effect from
         # its Tracking/LocalMapping thread split, `src/System.cc:72-86`)
-        self.pipeline_depth = 2
+        self.pipeline_depth = cfg.tracking.pipeline_depth
         # chunked mode: how many whole chunks stay in flight before the
         # oldest is drained (round 2 kept exactly ONE — dispatch and drain
         # could never overlap deeply, VERDICT weak #3)
@@ -597,7 +597,11 @@ class Tracking:
         """The fused step's argument tuple (minus cfg), as stackable
         arrays/pytrees — shared by the single-sequence path below and the
         batched multi-sequence replayer (parallel/replay.py), which vmaps
-        fused_track_step over B trackers' inputs."""
+        fused_track_step over B trackers' inputs.
+
+        With depth=None, `gray` is a pre-packed (3, H, W) uint8 sensor
+        buffer (device_tracker.pack_frame) and the returned tuple matches
+        fused_track_step_packed's signature instead (one upload)."""
         if self._window_dirty or self._window is None:
             self._refresh_window()
         # cache the small constant device arrays: each eager jnp.asarray is
@@ -621,11 +625,13 @@ class Tracking:
         else:
             T_ovr_dev = self._dev_eye4
         self._pose_override = None
-        return (jnp.asarray(gray), jnp.asarray(depth),
-                T_ovr_dev, self._dev_true if use_ovr else self._dev_false,
+        tail = (T_ovr_dev, self._dev_true if use_ovr else self._dev_false,
                 self._dev_R_wm,
                 self._dev_manh, self._fused_state, self._window,
                 self._pose_weights)
+        if depth is None:
+            return (jnp.asarray(gray),) + tail
+        return (jnp.asarray(gray), jnp.asarray(depth)) + tail
 
     def submit_fused_result(self, result, timestamp: float) -> bool:
         """Queue a fused-step result into the pipeline and process the
@@ -663,12 +669,20 @@ class Tracking:
         """Pipelined device step: dispatch frame k, then process frame k-1's
         bundle whose async D2H copy has already landed (see
         device_tracker.fused_track_step)."""
-        from planarslam_tpu.slam.device_tracker import fused_track_step
+        from planarslam_tpu.slam.device_tracker import (
+            fused_track_step, fused_track_step_packed, pack_frame)
 
         if self.cfg.tracking.chunk_size > 1:
             return self._track_frame_chunked(gray, depth, timestamp)
-        args = self.fused_step_inputs(gray, depth)
-        result = fused_track_step(*args, self.cfg)
+        packed = pack_frame(np.asarray(gray), np.asarray(depth))
+        if packed is not None:
+            # native sensor dtypes: ONE H2D transaction per frame instead
+            # of two (per-transaction tunnel service time dominates)
+            args = self.fused_step_inputs(packed, None)
+            result = fused_track_step_packed(*args, self.cfg)
+        else:
+            args = self.fused_step_inputs(gray, depth)
+            result = fused_track_step(*args, self.cfg)
         return self.submit_fused_result(result, timestamp)
 
     # ------------------------------------------------- chunked throughput

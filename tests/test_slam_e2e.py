@@ -244,6 +244,34 @@ def test_reset():
     assert slam.get_tracking_state() == TrackingState.NO_IMAGES_YET
 
 
+def test_packed_native_dtype_streaming_matches_float():
+    """Native uint8/uint16 sensor frames take the single-upload packed
+    streaming path (device_tracker.fused_track_step_packed: gray + depth
+    byte-planes in ONE (3,H,W) uint8 H2D transaction); float inputs take
+    the two-buffer path. Same scene => same-quality trajectory (small
+    quantization differences only)."""
+    cfg = SystemConfig.tiny()
+    n = 12
+    seq = synthetic.make_sequence(n_frames=n, width=cfg.camera.width,
+                                  height=cfg.camera.height)
+    factor = cfg.camera.depth_map_factor
+    ates = {}
+    for native in (False, True):
+        slam = System(config=cfg)
+        for i in range(n):
+            g, d = seq.render(i)
+            if native:
+                g = np.clip(np.round(g), 0, 255).astype(np.uint8)
+                d = np.clip(np.round(d * factor), 0, 65535).astype(np.uint16)
+            slam.track_rgbd(g, d, seq.timestamps[i])
+        slam.shutdown()
+        assert slam.get_tracking_state() == TrackingState.OK, native
+        est = slam.frame_poses_wc()
+        assert len(est) == n
+        ates[native] = ate_rmse(est[:, :3, 3], seq.poses_wc[:n, :3, 3])
+    assert ates[True] < max(2.0 * ates[False], 0.02), ates
+
+
 @pytest.mark.slow
 def test_chunked_tracking_matches_streaming():
     """Throughput mode (tracking.chunk_size>1: C frames per device program,

@@ -112,24 +112,20 @@ def main():
             np.asarray(p)
         return (time.perf_counter() - t0) / (n_chunks * C)
 
-    # warm up compiles
+    # warm up compiles (C=8 only: single-CPU host — keep compile count low)
     bench_block_step(n=3)
-    for C in (4, 8):
-        bench_block_chunk(C, n=2)
+    bench_block_chunk(8, n=2)
 
-    a = bench_block_step()
+    a = bench_block_step(n=12)
     print(f"a. blocking step:        median {np.median(a)*1e3:7.2f} ms  "
-          f"min {a.min()*1e3:7.2f}")
-    for C in (4, 8, 16):
-        bench_block_chunk(C, n=2)  # compile
-        b = bench_block_chunk(C)
-        print(f"b. blocking chunk C={C:2d}:  median {np.median(b)*1e3:7.2f} ms"
-              f"  per-frame {np.median(b)/C*1e3:7.2f} ms")
-    c = bench_iso_stream()
-    print(f"c. iso stream lag-2:     per-frame {c*1e3:7.2f} ms")
-    for C in (4, 8, 16):
-        d = bench_iso_chunk(C)
-        print(f"d. iso chunk  C={C:2d}:      per-frame {d*1e3:7.2f} ms")
+          f"min {a.min()*1e3:7.2f}", flush=True)
+    b = bench_block_chunk(8, n=6)
+    print(f"b. blocking chunk C= 8:  median {np.median(b)*1e3:7.2f} ms"
+          f"  per-frame {np.median(b)/8*1e3:7.2f} ms", flush=True)
+    c = bench_iso_stream(n=32)
+    print(f"c. iso stream lag-2:     per-frame {c*1e3:7.2f} ms", flush=True)
+    d = bench_iso_chunk(8, n_chunks=6)
+    print(f"d. iso chunk  C= 8:      per-frame {d*1e3:7.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
