@@ -24,8 +24,13 @@ import os as _os
 # Persistent XLA compile cache: the fused per-frame program takes minutes
 # to compile on a weak host CPU; caching it makes every process after the
 # first (bench runs, CLI runs, profilers) start hot. Opt out by setting
-# JAX_COMPILATION_CACHE_DIR="" in the environment.
-_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/planarslam_jax_cache")
+# JAX_COMPILATION_CACHE_DIR="" in the environment. The path is per-user
+# (a world-shared /tmp dir could be pre-owned/poisoned by another user),
+# and the setdefault only takes effect if this package is imported BEFORE
+# jax — jax reads the env var at its own import.
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "planarslam_jax"))
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 import jax as _jax

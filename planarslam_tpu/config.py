@@ -197,6 +197,16 @@ class TrackingConfig:
     # kind of lag). Host-side only — changing it never recompiles.
     pipeline_depth: int = 2
 
+    def __post_init__(self):
+        # a negative depth would make the pipeline drain loop pop from an
+        # empty pending list mid-tracking; fail at construction instead
+        if self.pipeline_depth < 0:
+            raise ValueError(
+                f"pipeline_depth must be >= 0, got {self.pipeline_depth}")
+        if self.chunk_size < 1:
+            raise ValueError(
+                f"chunk_size must be >= 1, got {self.chunk_size}")
+
 
 @dataclass(frozen=True)
 class LoopConfig:

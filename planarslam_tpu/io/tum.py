@@ -47,19 +47,54 @@ def load_associations(path: str, root: Optional[str] = None) -> Association:
 
 
 def load_rgbd_frame(rgb_path: str, depth_path: str,
-                    depth_map_factor: float = 5000.0) -> Tuple[np.ndarray, np.ndarray]:
-    """Load one RGB-D pair as (gray float32 [0,255], depth float32 metres)."""
-    import cv2  # local import: cv2 only needed for real datasets
+                    depth_map_factor: float = 5000.0,
+                    native: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+    """Load one RGB-D pair.
 
-    rgb = cv2.imread(rgb_path, cv2.IMREAD_UNCHANGED)
-    depth = cv2.imread(depth_path, cv2.IMREAD_UNCHANGED)
-    if rgb is None or depth is None:
-        raise FileNotFoundError(f"failed to load {rgb_path} / {depth_path}")
-    if rgb.ndim == 3:
-        gray = cv2.cvtColor(rgb, cv2.COLOR_BGR2GRAY)
-    else:
-        gray = rgb
-    return gray.astype(np.float32), depth.astype(np.float32) / depth_map_factor
+    native=True (default): (gray uint8, depth uint16 raw units) — the TUM
+    on-disk formats (reference feeds CV_8U/CV_16U straight to tracking,
+    `Examples/RGB-D/main.cc:75,126-151`). These dtypes engage the tracker's
+    single-packed-upload fast path (`device_tracker.pack_frame`); metres
+    conversion happens device-side using `camera.depth_map_factor`, which
+    must equal the `depth_map_factor` the dataset was encoded with.
+
+    native=False: (gray float32 [0,255], depth float32 metres) — the slow
+    two-float-upload path, for non-standard depth encodings.
+    """
+    gray, depth = _imread_pair(rgb_path, depth_path)
+    if native and gray.dtype == np.uint8 and depth.dtype == np.uint16:
+        return gray, depth
+    return (gray.astype(np.float32),
+            depth.astype(np.float32) / depth_map_factor)
+
+
+def _imread_pair(rgb_path: str, depth_path: str
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """PNG decode via cv2 when present, PIL otherwise (both read TUM's
+    8-bit RGB and 16-bit grayscale depth PNGs)."""
+    try:
+        import cv2
+
+        rgb = cv2.imread(rgb_path, cv2.IMREAD_UNCHANGED)
+        depth = cv2.imread(depth_path, cv2.IMREAD_UNCHANGED)
+        if rgb is None or depth is None:
+            raise FileNotFoundError(
+                f"failed to load {rgb_path} / {depth_path}")
+        if rgb.ndim == 3:
+            gray = cv2.cvtColor(rgb, cv2.COLOR_BGR2GRAY)
+        else:
+            gray = rgb
+        return gray, depth
+    except ImportError:
+        from PIL import Image
+
+        rgb = Image.open(rgb_path)
+        gray = np.asarray(rgb.convert("L")) if rgb.mode not in ("L", "I;16") \
+            else np.asarray(rgb)
+        depth = np.asarray(Image.open(depth_path))
+        if depth.dtype == np.int32:  # PIL mode "I" for 16-bit PNG
+            depth = depth.astype(np.uint16)
+        return gray, depth
 
 
 def write_trajectory_tum(path: str, timestamps, poses_wc: np.ndarray) -> None:

@@ -123,6 +123,45 @@ def test_tiny_config_shapes():
     assert cfg.orb.max_keypoints == 256
 
 
+def test_real_dataset_path_end_to_end():
+    """load_associations -> load_rgbd_frame -> track_rgbd over the
+    checked-in PNG fixture (TUM on-disk formats: 8-bit gray RGB, 16-bit
+    depth PNG, reference `Examples/RGB-D/main.cc:75,126-151`): the loader
+    must return the native dtypes so the tracker's single-packed-upload
+    fast path engages, and tracking must follow the fixture's ground-truth
+    trajectory."""
+    import os
+
+    from planarslam_tpu.io.tum import load_rgbd_frame
+    from planarslam_tpu.slam.device_tracker import pack_frame
+    from planarslam_tpu.slam.system import System
+
+    root = os.path.join(os.path.dirname(__file__), "fixtures", "mini_tum")
+    assoc = load_associations(os.path.join(root, "associations.txt"))
+    assert len(assoc) == 6
+    cfg = SystemConfig.tiny()
+    gt = np.load(os.path.join(root, "poses_wc.npy"))
+
+    slam = System(config=cfg)
+    for t, rp, dp in zip(assoc.timestamps, assoc.rgb_paths,
+                         assoc.depth_paths):
+        gray, depth = load_rgbd_frame(rp, dp, cfg.camera.depth_map_factor)
+        # native dtypes engage the packed single-upload path
+        assert gray.dtype == np.uint8 and depth.dtype == np.uint16
+        assert pack_frame(gray, depth) is not None
+        slam.track_rgbd(gray, depth, t)
+    slam.shutdown()
+    est = slam.frame_poses_wc()
+    assert len(est) == 6
+    assert not any(r.lost for r in slam.tracker.records)
+    assert ate_rmse(est[:, :3, 3], gt[:len(est), :3, 3]) < 0.05
+    # float fallback option still exists for non-standard encodings
+    g_f, d_f = load_rgbd_frame(assoc.rgb_paths[0], assoc.depth_paths[0],
+                               cfg.camera.depth_map_factor, native=False)
+    assert g_f.dtype == np.float32 and d_f.dtype == np.float32
+    assert 0.0 < d_f[d_f > 0].min() < d_f.max() < 10.0  # metres
+
+
 def test_shipped_settings_files_load():
     """The five dataset settings files under examples/settings/ parse and
     carry the published calibrations (reference Examples/RGB-D/*.yaml
