@@ -337,15 +337,45 @@ def extract_line_features(gray: jnp.ndarray, depth: jnp.ndarray,
                         has_3d=has3d, valid=valid)
 
 
-@partial(jax.jit, static_argnames=("max_angle", "ratio", "min_sim"))
+def _adaptive_sim_gate(best: jnp.ndarray, cand: jnp.ndarray,
+                       min_sim: float, floor: float,
+                       lam: float = 1.0) -> jnp.ndarray:
+    """Per-frame MAD-adaptive acceptance threshold on best-match
+    similarities (the reference derives its line acceptance thresholds
+    from the frame's own match-distance median/MAD, `src/Frame.cc:269-293`
+    lineDescriptorMAD with the 1.4826 normal-consistency factor,
+    consumed in `src/LSDmatcher.cpp:224-233,256-259`).
+
+    A fixed similarity constant is calibrated to one texture statistic;
+    when global image statistics shift (contrast compression, blur,
+    sensor gain), every similarity moves together and a fixed gate
+    starves. The adaptive gate accepts sims within lam*1.4826*MAD below
+    the candidate median — scale-free in descriptor-distance units —
+    clamped to [floor, min_sim]: it may RELAX below the fixed gate when
+    statistics shift down (never below `floor`), and never tightens
+    above the calibrated `min_sim`. With < 6 candidates the statistics
+    are meaningless and the fixed gate applies."""
+    bn = jnp.where(cand, best, jnp.nan)
+    med = jnp.nanmedian(bn)
+    mad = 1.4826 * jnp.nanmedian(jnp.abs(bn - med))
+    th_adapt = jnp.clip(med - lam * mad, floor, min_sim)
+    enough = jnp.sum(cand.astype(jnp.int32)) >= 6
+    th = jnp.where(enough & jnp.isfinite(th_adapt), th_adapt, min_sim)
+    return best > th
+
+
+@partial(jax.jit, static_argnames=("max_angle", "ratio", "min_sim",
+                                   "sim_floor"))
 def match_lines(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
                 valid_a: jnp.ndarray, valid_b: jnp.ndarray,
                 angle_a: jnp.ndarray, angle_b: jnp.ndarray,
                 max_angle: float = 0.26, ratio: float = 0.85,
-                min_sim: float = 0.75):
+                min_sim: float = 0.75, sim_floor: float = 0.45):
     """Mutual nearest-neighbor line matching on band descriptors with an
     orientation gate (the LSDmatcher knn + MAD-threshold role,
-    `src/LSDmatcher.cpp:242-334`). Returns (idx (A,), sim (A,))."""
+    `src/LSDmatcher.cpp:242-334`). The absolute similarity gate adapts
+    per frame to the match-sim median/MAD (see _adaptive_sim_gate).
+    Returns (idx (A,), sim (A,))."""
     sim = desc_a @ desc_b.T  # (A, B) cosine similarity (descs normalized)
     da = jnp.abs(angle_a[:, None] - angle_b[None, :])
     da = jnp.minimum(da, jnp.pi - da)
@@ -354,14 +384,17 @@ def match_lines(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
     top2, top2_idx = jax.lax.top_k(sim, 2)
     best, second = top2[:, 0], top2[:, 1]
     best_idx = top2_idx[:, 0]
-    ok = (best > min_sim) & ((1 - best) < ratio * (1 - second) + 1e-9)
+    cand = best > -0.5  # passed the validity/orientation gates at all
+    ok = _adaptive_sim_gate(best, cand, min_sim, sim_floor) \
+        & ((1 - best) < ratio * (1 - second) + 1e-9)
     back = jnp.argmax(sim, axis=0)
     ok = ok & (back[best_idx] == jnp.arange(sim.shape[0]))
     return jnp.where(ok, best_idx, -1).astype(jnp.int32), best
 
 
 @partial(jax.jit,
-         static_argnames=("K", "image_wh", "radius", "max_angle", "min_sim"))
+         static_argnames=("K", "image_wh", "radius", "max_angle", "min_sim",
+                          "sim_floor"))
 def search_lines_by_projection(
         sw_w: jnp.ndarray,      # (M, 3) map line start endpoints (world)
         ew_w: jnp.ndarray,      # (M, 3) map line end endpoints (world)
@@ -378,6 +411,7 @@ def search_lines_by_projection(
         radius: float = 12.0,
         max_angle: float = 0.26,
         min_sim: float = 0.7,
+        sim_floor: float = 0.45,
         ):
     """Guided line matching by projection — `LSDmatcher::SearchByProjection`
     (`src/LSDmatcher.cpp:20,141`): project each map line's endpoints through
@@ -439,7 +473,9 @@ def search_lines_by_projection(
     sim = jnp.where(gate, sim, -1.0)
     best = jnp.argmax(sim, axis=1)
     best_sim = jnp.max(sim, axis=1)
-    ok = best_sim > min_sim
+    # per-frame MAD-adaptive similarity gate (see _adaptive_sim_gate):
+    # tracks global texture-statistic shifts the fixed constant cannot
+    ok = _adaptive_sim_gate(best_sim, best_sim > -0.5, min_sim, sim_floor)
     # duplicate resolution: a frame line keeps only its most-similar map line
     back = jnp.argmax(sim, axis=0)
     ok = ok & (back[best] == jnp.arange(sim.shape[0]))

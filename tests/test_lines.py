@@ -122,6 +122,69 @@ def test_match_lines_across_frames():
     assert np.median(d) < 20.0
 
 
+def test_match_lines_mad_adaptive_gate():
+    """Globally-shifted texture statistics (contrast compression, blur,
+    gain) move EVERY descriptor similarity down together; a fixed 0.75
+    gate then starves while the reference's per-frame MAD-derived
+    threshold keeps matching (`src/Frame.cc:269-293` lineDescriptorMAD,
+    consumed at `src/LSDmatcher.cpp:224-233`). Construct a frame pair
+    whose true-pair sims sit at ~0.6 with tight dispersion: the fixed
+    gate rejects all of them, the adaptive gate retains them."""
+    rng = np.random.default_rng(5)
+    n, D = 24, 72
+    base = rng.normal(size=(n, D))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noise = rng.normal(size=(n, D))
+    noise -= (noise * base).sum(1, keepdims=True) * base  # orthogonal
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    target_sim = 0.60 + rng.uniform(-0.02, 0.02, n)  # tight cluster < 0.75
+    shifted = (target_sim[:, None] * base
+               + np.sqrt(1 - target_sim[:, None] ** 2) * noise)
+    angles = rng.uniform(0, np.pi, n)
+    valid = np.ones(n, bool)
+
+    idx, sim = lines.match_lines(
+        jnp.asarray(base, jnp.float32), jnp.asarray(shifted, jnp.float32),
+        jnp.asarray(valid), jnp.asarray(valid),
+        jnp.asarray(angles, jnp.float32), jnp.asarray(angles, jnp.float32))
+    idx = np.asarray(idx)
+    hit = idx == np.arange(n)
+    assert hit.sum() >= n - 4, f"adaptive gate retained only {hit.sum()}/{n}"
+    # sanity: every accepted sim really is below the old fixed gate
+    assert float(np.asarray(sim)[hit].max()) < 0.75
+
+    # the projection search applies the same adaptive rule: identical
+    # geometry (map lines == frame segments), globally compressed sims
+    sw = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    sw[:, 2] = rng.uniform(2.0, 3.0, n)
+    ew = sw + rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    ew[:, 2] = sw[:, 2]
+    K = (300.0, 300.0, 80.0, 60.0)
+    fx, fy, cx, cy = K
+
+    def project(p):
+        return np.stack([fx * p[:, 0] / p[:, 2] + cx,
+                         fy * p[:, 1] / p[:, 2] + cy], -1)
+
+    uv_s, uv_e = project(sw), project(ew)
+    ang = np.mod(np.arctan2(uv_e[:, 1] - uv_s[:, 1],
+                            uv_e[:, 0] - uv_s[:, 0]), np.pi)
+    on = ((uv_s > 0) & (uv_s < [160, 120])).all(1) \
+        & ((uv_e > 0) & (uv_e < [160, 120])).all(1)
+    midx, msim = lines.search_lines_by_projection(
+        jnp.asarray(sw), jnp.asarray(ew),
+        jnp.asarray(base, jnp.float32), jnp.asarray(valid),
+        jnp.asarray(np.eye(4, dtype=np.float32)),
+        jnp.asarray(uv_s.astype(np.float32)),
+        jnp.asarray(uv_e.astype(np.float32)),
+        jnp.asarray(ang.astype(np.float32)),
+        jnp.asarray(shifted, jnp.float32), jnp.asarray(valid),
+        K=K, image_wh=(160.0, 120.0))
+    midx = np.asarray(midx)
+    got = (midx == np.arange(n)) & on
+    assert got.sum() >= 0.8 * on.sum()
+
+
 def test_line_triangulation_two_view():
     """mapping_step's line triangulation (CreateNewMapLines2,
     `src/LocalMapping.cc:800`): a 3D segment observed in two views with NO
