@@ -45,4 +45,46 @@ def test_batched_slam_8_sequences():
         err = ate_rmse(est[:, :3, 3], seq.poses_wc[:len(est), :3, 3])
         assert err < 0.08, f"seq {b} ATE {err:.4f} m"
     # the batch really fused: after warmup every frame ran the vmapped step
-    assert batched._n_last == B
+    assert batched.stats["fused_lane_frames"] >= B * 8
+    # one traced program for the whole replay: padding the batch to B means
+    # ready-count changes never re-jit the fused step
+    assert batched._vstep._cache_size() == 1
+
+
+@pytest.mark.slow
+def test_batched_slam_no_recompile_on_dropout():
+    """A sequence dropping out of the fused batch (forced LOST -> reloc)
+    and rejoining must NOT trigger a new compilation of the vmapped step:
+    the batch is padded to B with replayed lanes (round-3 VERDICT weak #4)."""
+    import jax
+
+    from planarslam_tpu.parallel.replay import BatchedSLAM, make_mesh
+
+    B = 4
+    assert len(jax.devices()) >= B
+    cfg = SystemConfig.tiny()
+    seqs = [synthetic.make_sequence(n_frames=12, width=cfg.camera.width,
+                                    height=cfg.camera.height, kind="arc",
+                                    seed=200 + i) for i in range(B)]
+    mesh = make_mesh(B)
+    batched = BatchedSLAM(cfg, B, mesh=mesh)
+    n_compiles_after_warmup = None
+    for i in range(12):
+        grays = [s.render(i)[0] for s in seqs]
+        depths = [s.render(i)[1] for s in seqs]
+        if i == 6:
+            # force sequence 2 out of the fused batch mid-replay
+            tr = batched.systems[2].tracker
+            tr.flush_pending()
+            tr.state = TrackingState.LOST
+            tr._fused_state = None
+        batched.track(grays, depths, np.full(B, float(i) / 30.0))
+        if batched._vstep is not None:
+            n = batched._vstep._cache_size()
+            if n_compiles_after_warmup is None:
+                n_compiles_after_warmup = n
+            assert n == n_compiles_after_warmup, \
+                f"fused step re-jitted at frame {i}"
+    assert batched.stats["padded_lane_frames"] > 0  # the dropout happened
+    # the dropped sequence relocalized or reset and kept producing poses
+    assert np.isfinite(batched.systems[2].tracker.T_cw).all()
