@@ -41,6 +41,12 @@ def main() -> int:
     ap.add_argument("--save-html", action="store_true",
                     help="write map.html, the self-contained interactive "
                          "3D map viewer (Pangolin-viewer role)")
+    ap.add_argument("--view", nargs="?", const=8765, type=int, default=None,
+                    metavar="PORT",
+                    help="LIVE viewer: serve the interactive map at "
+                         "http://127.0.0.1:PORT/ and refresh it as the map "
+                         "grows (the reference Viewer's runtime-window role, "
+                         "src/Viewer.cc:37-165)")
     ap.add_argument("--chunk", type=int, default=1,
                     help="frames per device program (throughput mode; "
                          "pose output lags up to 2*chunk frames)")
@@ -121,7 +127,15 @@ def main() -> int:
 
         loader = gen()
 
+    viewer = None
+    if args.view is not None:
+        from planarslam_tpu.viz.live_viewer import LiveViewer
+
+        viewer = LiveViewer(port=args.view)
+        print(f"live viewer: {viewer.url}")
+
     times = []
+    last_view_kf = -1
     for i, (t, gray, depth) in enumerate(loader):
         t0 = time.perf_counter()
         slam.track_rgbd(gray, depth, t)
@@ -130,6 +144,13 @@ def main() -> int:
         total_log.write(f"{dt * 1e3:.3f}\n")
         track_log.write(f"{slam.tracker.last_track_time * 1e3:.3f}\n")
         feature_log.write(f"{slam.tracker.last_feature_time * 1e3:.3f}\n")
+        if viewer is not None and slam.map.n_kf != last_view_kf:
+            # keyframe cadence: the granularity at which new map content
+            # exists (same as the reference MapDrawer's effective refresh).
+            # flush=False: a mid-run observer must not drain the pipeline.
+            last_view_kf = slam.map.n_kf
+            viewer.update(slam.map, trajectory=slam.frame_poses_wc(
+                flush=False)[:, :3, 3])
         if i % 30 == 0:
             print(f"frame {i}/{n_total}  {dt * 1e3:.1f} ms  "
                   f"state={slam.get_tracking_state().name}")
@@ -139,6 +160,8 @@ def main() -> int:
                 time.sleep(budget - dt)
 
     slam.shutdown()
+    if viewer is not None:
+        viewer.update(slam.map, trajectory=slam.frame_poses_wc()[:, :3, 3])
     for f in (feature_log, track_log, total_log):
         f.close()
 
@@ -167,6 +190,16 @@ def main() -> int:
         n = min(len(est), len(gt))
         print(f"ATE RMSE vs ground truth: "
               f"{ate_rmse(est[:n, :3, 3], gt[:n, :3, 3]):.4f} m")
+    if viewer is not None:
+        if sys.stdin.isatty():
+            print(f"live viewer serving the final map at {viewer.url} — "
+                  "Ctrl-C to exit")
+            try:
+                while True:
+                    time.sleep(1)
+            except KeyboardInterrupt:
+                pass
+        viewer.close()
     return 0
 
 

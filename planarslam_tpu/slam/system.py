@@ -152,12 +152,17 @@ class System:
         return self.tracker.n_inliers
 
     # ------------------------------------------------------------ trajectory
-    def frame_poses_wc(self) -> np.ndarray:
+    def frame_poses_wc(self, flush: bool = True) -> np.ndarray:
         """Per-frame camera-to-world poses chained through reference KFs
         (reference `SaveTrajectoryTUM` semantics, `src/System.cc:192-251`:
         relative pose times the *current* KF estimate, so BA/loop corrections
-        propagate to all frames)."""
-        self.tracker.flush_pending()
+        propagate to all frames).
+
+        flush=False reads only the already-processed records WITHOUT
+        draining the tracking pipeline — for mid-run observers (the live
+        viewer) that must not serialize the in-flight frames."""
+        if flush:
+            self.tracker.flush_pending()
         out = []
         for rec in self.tracker.records:
             # culled reference KFs chain through their stored cull-time
@@ -166,6 +171,8 @@ class System:
             T_rw = T_rel @ self.map.kf_pose[anchor]
             T_cw = rec.T_cr @ T_rw
             out.append(np.linalg.inv(T_cw))
+        if not out:
+            return np.zeros((0, 4, 4), np.float32)
         return np.asarray(out)
 
     def save_trajectory_tum(self, path: str) -> None:

@@ -114,7 +114,7 @@ _HTML = """<!DOCTYPE html>
   wheel: zoom</div>
 </div>
 <script>
-const DATA = /*DATA*/;
+let DATA = /*DATA*/;
 const cv = document.getElementById('c'), ctx = cv.getContext('2d');
 let yaw = 0.6, pitch = 0.45, dist = 8, tgt = [0, 0, 0];
 function fit() {
@@ -231,7 +231,29 @@ document.getElementById('reset').onclick = () => {
 document.getElementById('top').onclick = () => {
   yaw = 0; pitch = 1.55; draw(); };
 fit(); draw();
+/*LIVE*/
 </script></body></html>
+"""
+
+# Polling loop injected by the live viewer (viz/live_viewer.py): re-fetches
+# the payload each second and redraws IN PLACE — camera state (yaw/pitch/
+# zoom/target) survives updates, unlike a page reload.
+_LIVE_JS = """
+let fitted = DATA.points.length > 0;
+async function poll() {
+  try {
+    const r = await fetch('map.json?t=' + Date.now());
+    if (r.ok) {
+      DATA = await r.json();
+      if (!fitted && (DATA.points.length || DATA.frusta.length)) {
+        fit(); fitted = true;
+      }
+      draw();
+    }
+  } catch (e) {}
+  setTimeout(poll, 1000);
+}
+poll();
 """
 
 
@@ -240,4 +262,11 @@ def export_map_html(path: str, slam_map,
     """Write the interactive single-file viewer for the current map."""
     payload = map_payload(slam_map, trajectory)
     with open(path, "w") as f:
-        f.write(_HTML.replace("/*DATA*/", json.dumps(payload)))
+        f.write(render_html(payload))
+
+
+def render_html(payload: dict, live: bool = False) -> str:
+    """Render the viewer HTML around a payload; live=True injects the
+    polling loop that refreshes from ./map.json (see viz/live_viewer.py)."""
+    html = _HTML.replace("/*DATA*/", json.dumps(payload))
+    return html.replace("/*LIVE*/", _LIVE_JS if live else "")

@@ -123,13 +123,34 @@ def test_viz_outputs(tmp_path):
     export_map_html(hp, slam.map, trajectory=traj)
     html = open(hp).read()
     assert "<canvas" in html and "orbit" in html
-    payload = json.loads(html.split("const DATA = ", 1)[1]
+    payload = json.loads(html.split("let DATA = ", 1)[1]
                          .split(";\n", 1)[0])
     direct = map_payload(slam.map, traj)
     assert payload.keys() == direct.keys()
     assert len(payload["points"]) > 50
     assert len(payload["frusta"]) == int(slam.map.kf_valid.sum())
     assert len(payload["traj"]) == len(traj)
+
+    # LIVE viewer (reference Viewer's runtime-window role): serves the
+    # polling page and a payload that refreshes on update()
+    from urllib.request import urlopen
+
+    from planarslam_tpu.viz.live_viewer import LiveViewer
+
+    viewer = LiveViewer(port=0)  # ephemeral port
+    try:
+        page = urlopen(viewer.url, timeout=5).read().decode()
+        assert "map.json" in page and "poll()" in page  # live polling loop
+        empty = json.loads(urlopen(viewer.url + "map.json",
+                                   timeout=5).read())
+        assert empty["points"] == []
+        viewer.update(slam.map, trajectory=traj)
+        live = json.loads(urlopen(viewer.url + "map.json", timeout=5).read())
+        assert live.keys() == direct.keys()
+        assert len(live["points"]) > 50
+        assert len(live["frusta"]) == int(slam.map.kf_valid.sum())
+    finally:
+        viewer.close()
 
 
 def test_sim3_refinement(rng):
