@@ -179,3 +179,78 @@ def test_correction_machinery_at_scale():
           f"({len(m.valid_kf_ids())} KFs)")
     # wall-time sanity: a 200-KF correction must stay interactive-scale
     assert t_pg < 300 and t_gba < 300
+
+
+@pytest.mark.slow
+def test_retrieval_discrimination_at_capacity():
+    """Retrieval precision/recall at 220 KFs with ALIASED decor (round-3
+    VERDICT weak #5 / next-step #8): two laps of a 110-position ring where
+    lap-2 keyframes observe drift-unassociated COPIES of lap-1's landmarks
+    (the genuine loop-closure regime: same place, no shared map entries
+    yet), and the whole scene draws from only 48 distinct descriptors —
+    repetitive texture that flattens LSH word histograms. Asserts the true
+    revisit ranks first for most queries and the group top-up fallback
+    (`slam/retrieval.py`) does not flood the verifier with far-away
+    candidates (`src/KeyFrameDatabase.cc:147-176` discrimination role)."""
+    from planarslam_tpu.slam.retrieval import KeyFrameDatabase
+
+    cfg = SystemConfig.tiny()
+    cfg = cfg.replace(map=dataclasses.replace(
+        cfg.map, max_keyframes=256, max_points=16384))
+    rng = np.random.default_rng(17)
+    m = SlamMap(cfg)
+    db = KeyFrameDatabase(cfg)
+
+    n_pos, n_lm = 110, 3000
+    Kp = cfg.orb.max_keypoints
+
+    # landmark bearings around the ring; lap 2 re-creates every landmark
+    # under new ids (drift-unassociated revisit)
+    lm_ang = rng.uniform(0, 2 * np.pi, n_lm)
+    # aliased decor: only 48 distinct descriptors for 3000 landmarks
+    pool = rng.integers(0, 2 ** 32, (48, 8), dtype=np.uint32)
+    lm_desc = pool[rng.integers(0, len(pool), n_lm)]
+
+    def ang_dist(a, b):
+        d = np.abs(a - b) % (2 * np.pi)
+        return np.minimum(d, 2 * np.pi - d)
+
+    fov = 0.5  # radians of ring visible per keyframe
+    for k in range(2 * n_pos):
+        pos_ang = 2 * np.pi * (k % n_pos) / n_pos
+        lap = k // n_pos
+        kf = m.alloc_keyframe()
+        m.kf_valid[kf] = True
+        m.kf_frame_id[kf] = k
+        vis = np.flatnonzero(ang_dist(lm_ang, pos_ang) < fov)[:Kp]
+        n = len(vis)
+        # per-observation sensor noise: ~6 random bit flips per descriptor
+        flips = (np.uint32(1) << rng.integers(0, 32, (n, 8), dtype=np.uint32))
+        keep = rng.random((n, 8)) < 0.75
+        noisy = lm_desc[vis] ^ np.where(keep, np.uint32(0), flips)
+        m.kf_desc[kf, :n] = noisy
+        m.kf_feat_valid[kf, :n] = True
+        # lap-2 landmark ids offset by n_lm -> zero shared observations
+        m.kf_pt_idx[kf, :n] = vis + lap * n_lm
+        m.update_covisibility(kf)
+        db.add(m, kf)
+
+    hits, tops, flood = 0, 0, 0
+    queries = list(range(n_pos + 10, 2 * n_pos, 7))
+    for q in queries:
+        true_pos = q - n_pos
+        cands = db.loop_candidates(m, q, max_out=3)
+        assert len(cands) <= 3  # bounded verifier load
+        near = [c for c in cands if c < n_pos
+                and min(abs(c - true_pos), n_pos - abs(c - true_pos)) <= 6]
+        far = [c for c in cands if c < n_pos
+               and min(abs(c - true_pos), n_pos - abs(c - true_pos)) > 12]
+        hits += bool(near)
+        flood += len(far)
+        if cands and cands[0] in near:
+            tops += 1
+    n_q = len(queries)
+    assert hits >= 0.9 * n_q, f"recall {hits}/{n_q}"
+    assert tops >= 0.7 * n_q, f"true revisit ranked first only {tops}/{n_q}"
+    # precision: far-away candidates (aliased decor) must stay rare
+    assert flood <= 0.5 * n_q, f"{flood} far candidates over {n_q} queries"
