@@ -23,6 +23,21 @@ from planarslam_tpu.ops.orb import hamming_distance
 INF_DIST = 10_000
 
 
+def _top2_min(d: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-row (best, second_best, best_idx) of a distance matrix.
+
+    lax.top_k lowers to a full per-row SORT on TPU (O(N log N) on the
+    vector unit); the best/second-best pair only needs two min-reductions:
+    mask out each row's argmin and reduce again. Ties resolve to the
+    lowest index, same as top_k."""
+    best_idx = jnp.argmin(d, axis=1).astype(jnp.int32)
+    best = jnp.take_along_axis(d, best_idx[:, None], axis=1)[:, 0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    d2 = jnp.where(cols == best_idx[:, None], INF_DIST, d)
+    second = d2.min(axis=1)
+    return best, second, best_idx
+
+
 class MatchResult(NamedTuple):
     idx: jnp.ndarray    # (M,) int32 index into the target feature set, -1 = none
     dist: jnp.ndarray   # (M,) int32 Hamming distance (INF_DIST if none)
@@ -83,9 +98,7 @@ def match_descriptors(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
     than gating machinery)."""
     d = hamming_distance(desc_a, desc_b)
     d = jnp.where(valid_a[:, None] & valid_b[None, :], d, INF_DIST)
-    top2_neg, top2_idx = jax.lax.top_k(-d, 2)
-    best, second = -top2_neg[:, 0], -top2_neg[:, 1]
-    best_idx = top2_idx[:, 0]
+    best, second, best_idx = _top2_min(d)
     ok = (best <= max_dist) & (best.astype(jnp.float32)
                                < ratio * second.astype(jnp.float32))
     if mutual:
@@ -167,9 +180,7 @@ def search_by_projection(
 
     d = hamming_distance(descs, feat_desc)
     d = jnp.where(gate, d, INF_DIST)
-    top2_neg, top2_idx = jax.lax.top_k(-d, 2)
-    best, second = -top2_neg[:, 0], -top2_neg[:, 1]
-    best_idx = top2_idx[:, 0]
+    best, second, best_idx = _top2_min(d)
     ok = best <= max_dist
     if ratio < 1.0:
         ok = ok & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))

@@ -117,12 +117,27 @@ def pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(b * weights[None, None, :], axis=-1, dtype=jnp.uint32)
 
 
+def _unpack_pm1(desc: jnp.ndarray) -> jnp.ndarray:
+    """(N, 8) uint32 packed descriptor -> (N, 256) bfloat16 of ±1."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    bits = (desc[:, :, None] >> shifts) & jnp.uint32(1)  # (N, 8, 32)
+    return (bits.reshape(desc.shape[0], N_BITS).astype(jnp.bfloat16) * 2 - 1)
+
+
 def hamming_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Pairwise Hamming distance between packed descriptors.
 
-    a: (M, 8) uint32, b: (N, 8) uint32 -> (M, N) int32. The popcount(xor)
-    inner loop replaces the reference's DescriptorDistance
-    (`src/ORBmatcher.cc:1712`), batched over all pairs at once.
-    """
-    x = jax.lax.population_count(a[:, None, :] ^ b[None, :, :])
-    return jnp.sum(x, axis=-1).astype(jnp.int32)
+    a: (M, 8) uint32, b: (N, 8) uint32 -> (M, N) int32. Replaces the
+    reference's DescriptorDistance loop (`src/ORBmatcher.cc:1712`) with an
+    MXU matmul: unpack each descriptor to a ±1 vector, then
+    dot(a, b) = (#same - #diff) = 256 - 2·hamming, so
+    h = (256 - dot) / 2 — EXACT (±1 products are exact in bfloat16 and the
+    MXU accumulates in float32; |dot| <= 256 < 2^24). The popcount(xor)
+    formulation runs 8·M·N XOR+popcount lanes on the VPU; this form is a
+    (M, 256) x (256, N) matmul on the systolic array — the units where the
+    machine's FLOPs actually are."""
+    dot = jax.lax.dot_general(
+        _unpack_pm1(a), _unpack_pm1(b),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (M, N)
+    return ((jnp.float32(N_BITS) - dot) * 0.5).astype(jnp.int32)

@@ -239,6 +239,29 @@ def fused_track_step(
     weights: pose_opt.PoseOptWeights,
     cfg: SystemConfig,
 ) -> StepResult:
+    gray, depth = to_gray_depth(gray, depth, cfg)
+    feats = extract_frame(gray, depth, cfg)
+    return _track_core(feats, T_override, use_override, R_wm, manh_enabled,
+                       last, win_flat, weights, cfg)
+
+
+def _track_core(
+    feats: FrameFeatures,
+    T_override: jnp.ndarray,
+    use_override: jnp.ndarray,
+    R_wm: jnp.ndarray,
+    manh_enabled: jnp.ndarray,
+    last: LastState,
+    win_flat: jnp.ndarray,
+    weights: pose_opt.PoseOptWeights,
+    cfg: SystemConfig,
+) -> StepResult:
+    """The sequential half of the fused step: everything AFTER extraction
+    (Manhattan tracking, matching, pose optimization, bundle packing).
+
+    Split out so fused_track_chunk can batch the C independent extractions
+    (vmap — the heavy slab, no inter-frame dependency) and scan only this
+    genuinely sequential chain over the pre-extracted features."""
     win = unpack_window(win_flat, cfg)
     cam = cfg.camera
     K = (cam.fx, cam.fy, cam.cx, cam.cy)
@@ -252,8 +275,6 @@ def fused_track_step(
     velocity = jnp.where(use_override, jnp.eye(4, dtype=jnp.float32),
                          last.velocity)
 
-    gray, depth = to_gray_depth(gray, depth, cfg)
-    feats = extract_frame(gray, depth, cfg)
     T_pred = velocity @ T_last
 
     # ---- Manhattan rotation tracking ------------------------------------
@@ -498,25 +519,32 @@ def fused_track_chunk(
 ) -> ChunkResult:
     """C sequential tracking frames as ONE device program.
 
-    The axon tunnel serializes host<->device transactions with a ~15 ms
-    per-program service time while the actual per-frame compute is ~0.3 ms
-    — throughput is transaction-bound, not compute-bound. Chunking divides
-    the per-frame transaction cost by C (one upload, one execute, one pull
-    per chunk). The local-map window is frozen for the chunk (like the
-    reference's asynchronous LocalMapping lag); the frame-to-frame carry
-    chains exactly as in per-frame mode. Pose overrides (loop corrections)
-    are applied to `last` on the host BEFORE dispatch, so the in-chunk step
-    never needs them."""
+    Chunking divides the per-frame host<->device transaction cost by C (one
+    upload, one execute, one pull per chunk). The local-map window is frozen
+    for the chunk (like the reference's asynchronous LocalMapping lag); the
+    frame-to-frame carry chains exactly as in per-frame mode. Pose overrides
+    (loop corrections) are applied to `last` on the host BEFORE dispatch, so
+    the in-chunk step never needs them.
+
+    Structure: extraction has NO inter-frame dependency, so the C
+    extractions run as ONE vmapped batch (big batched ops — the per-frame
+    sorts/gathers/conv slabs amortize across the chunk instead of running C
+    times serially inside the scan); only the genuinely sequential
+    match+optimize chain (_track_core) is scanned."""
     eye4 = jnp.eye(4, dtype=jnp.float32)
     no = jnp.asarray(False)
 
-    def body(state, gd):
-        g, d = gd
-        res = fused_track_step(g, d, eye4, no, R_wm, manh_enabled, state,
-                               win, weights, cfg)
+    def ext(g, d):
+        return extract_frame(*to_gray_depth(g, d, cfg), cfg)
+
+    feats_all = jax.vmap(ext)(grays, depths)  # (C, ...) leading axis
+
+    def body(state, feats):
+        res = _track_core(feats, eye4, no, R_wm, manh_enabled, state,
+                          win, weights, cfg)
         return res.new_state, (res.packed, res.new_state)
 
-    final_state, (packed, states) = jax.lax.scan(body, last, (grays, depths))
+    final_state, (packed, states) = jax.lax.scan(body, last, feats_all)
     return ChunkResult(packed=packed, states=states, final_state=final_state)
 
 
@@ -566,6 +594,66 @@ def fused_track_step_packed(
                             manh_enabled, last, win_flat, weights, cfg)
 
 
+class FeatsHostLayout:
+    """Static layout for pulling a FrameFeatures pytree to the host as ONE
+    flat float32 array (ints/bools bitcast/converted) — `jax.device_get` on
+    the raw pytree issues one D2H transfer PER LEAF (~26 for FrameFeatures),
+    and the tunnel charges a full per-transaction service time (~25 ms under
+    load) for each; the packed form costs one program + one pull."""
+
+    def __init__(self, cfg: SystemConfig):
+        gray = jax.ShapeDtypeStruct((cfg.camera.height, cfg.camera.width),
+                                    jnp.float32)
+        feats_sds = jax.eval_shape(lambda g, d: extract_frame(g, d, cfg),
+                                   gray, gray)
+        self.leaves, self.treedef = jax.tree.flatten(feats_sds)
+        self.sizes = [int(np.prod(l.shape)) for l in self.leaves]
+        self.total = sum(self.sizes)
+
+    def unpack(self, flat: np.ndarray):
+        out = []
+        off = 0
+        for sds, size in zip(self.leaves, self.sizes):
+            chunk = flat[off:off + size]
+            if sds.dtype == jnp.bool_:
+                arr = chunk > 0.5
+            elif sds.dtype in (jnp.int32, jnp.uint32):
+                arr = chunk.view(np.dtype(sds.dtype.name))
+            else:
+                arr = chunk.astype(np.dtype(sds.dtype.name))
+            out.append(arr.reshape(sds.shape).copy())
+            off += size
+        return jax.tree.unflatten(self.treedef, out)
+
+
+def _pack_leaf_f32(a: jnp.ndarray) -> jnp.ndarray:
+    if a.dtype == jnp.bool_:
+        a = a.astype(jnp.float32)
+    elif a.dtype in (jnp.int32, jnp.uint32):
+        a = jax.lax.bitcast_convert_type(a, jnp.float32)
+    else:
+        a = a.astype(jnp.float32)
+    return a.reshape(-1)
+
+
+@jax.jit
+def pack_feats(feats: FrameFeatures) -> jnp.ndarray:
+    """Flatten a FrameFeatures pytree to one (total,) float32 device array
+    (layout = FeatsHostLayout); ONE D2H pull recovers everything."""
+    return jnp.concatenate([_pack_leaf_f32(a)
+                            for a in jax.tree.leaves(feats)])
+
+
+@jax.jit
+def pack_feats_slice(feats_stack: FrameFeatures, i: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """pack_feats of frame i from a chunk's stacked (C, ...) features —
+    slice + pack as one device program, one pull for a KF frame."""
+    one = jax.tree.map(lambda x: jax.lax.dynamic_index_in_dim(
+        x, i, axis=0, keepdims=False), feats_stack)
+    return pack_feats(one)
+
+
 def pack_frame(gray: np.ndarray, depth: np.ndarray):
     """Host-side packing for fused_track_step_packed; None when the raw
     dtypes are not the native uint8/uint16 sensor formats."""
@@ -574,9 +662,10 @@ def pack_frame(gray: np.ndarray, depth: np.ndarray):
     H, W = gray.shape
     out = np.empty((3, H, W), np.uint8)
     out[0] = gray
-    dv = np.ascontiguousarray(depth).view(np.uint8).reshape(H, W, 2)
-    out[1] = dv[..., 0]
-    out[2] = dv[..., 1]
+    # bit ops, not a raw memory view: the device-side 'lo | hi<<8'
+    # reconstruction assumes these planes regardless of host endianness
+    out[1] = (depth & 0xFF).astype(np.uint8)
+    out[2] = (depth >> 8).astype(np.uint8)
     return out
 
 
@@ -591,9 +680,8 @@ def pack_chunk_frames(grays: list, depths: list):
     out = np.empty((C, 3, H, W), np.uint8)
     for i, (g, d) in enumerate(zip(grays, depths)):
         out[i, 0] = g
-        dv = d.view(np.uint8).reshape(H, W, 2)
-        out[i, 1] = dv[..., 0]
-        out[i, 2] = dv[..., 1]
+        out[i, 1] = (d & 0xFF).astype(np.uint8)
+        out[i, 2] = (d >> 8).astype(np.uint8)
     return out
 
 

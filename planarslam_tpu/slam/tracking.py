@@ -110,9 +110,11 @@ class Tracking:
         # built once: eager jnp scalar creation costs ~20ms/op on the tunnel
         self._pose_weights = pose_opt.PoseOptWeights.from_config(cfg.planes)
         # fused device-step state (one host sync per tracked frame)
-        from planarslam_tpu.slam.device_tracker import BundleLayout
+        from planarslam_tpu.slam.device_tracker import (BundleLayout,
+                                                        FeatsHostLayout)
 
         self._layout = BundleLayout(cfg)
+        self._feats_layout = FeatsHostLayout(cfg)
         self._fused_state = None      # device LastState
         self._window = None           # DeviceWindow
         self._win_pt_ids = None       # window slot -> map point id
@@ -879,20 +881,20 @@ class Tracking:
         # keyframe policy from device-computed statistics
         if self._need_new_keyframe_fused(bundle["kf_stats"], cur_map_pt,
                                          prev["frame_id"]):
+            # KF-frame feature pull: device_get on the raw pytree costs one
+            # D2H transaction PER LEAF (~26 x the tunnel's ~25 ms service
+            # time under load = ~700 ms per KF chunk — the round-3 chunked
+            # regression); pack to ONE flat array on device and pull once
+            from planarslam_tpu.slam.device_tracker import (
+                pack_feats, pack_feats_slice)
+
             state = prev.get("state")
             if state is None:
-                # chunk mode: pull the WHOLE chunk's feature stack in ONE
-                # transaction the first time any of its frames creates a KF
-                # (per-leaf lazy slicing costs ~30 tunnel transactions),
-                # then slice on the host
-                cache = prev["chunk_cache"]
-                if "feats_host" not in cache:
-                    cache["feats_host"] = jax.device_get(
-                        prev["state_stack"].feats)
-                feats_np = jax.tree.map(lambda x: x[prev["chunk_i"]],
-                                        cache["feats_host"])
+                flat = pack_feats_slice(prev["state_stack"].feats,
+                                        jnp.int32(prev["chunk_i"]))
             else:
-                feats_np = jax.device_get(state.feats)
+                flat = pack_feats(state.feats)
+            feats_np = self._feats_layout.unpack(np.asarray(flat))
             # plane association is re-run on the HOST against the fresh map:
             # the device bundle's matches came from a window captured up to
             # pipeline-depth frames ago, so a plane created by the previous
