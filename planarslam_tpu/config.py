@@ -131,6 +131,14 @@ class PlaneConfig:
     # and refit — trims the corner wedges that tilt normals under sensor
     # noise (see ops/planes.extract_planes)
     refine_rounds: int = 2
+    # the robust re-assign/refit rounds run on a refine_stride-subsampled
+    # pixel grid: plane moments from HW/stride^2 samples estimate the same
+    # parameters (tens of thousands of samples per plane remain at 640x480)
+    # while each round's (HW, P) distance matrix + one-hot refit — the
+    # dominant extract_planes cost, measured 3.3-3.6 ms/round on TPU —
+    # shrinks by stride^2. Only the FINAL pixel labeling runs at full
+    # resolution. Set to 1 on tiny frames where every pixel counts.
+    refine_stride: int = 2
     # edge-preserving box window for the plane/normal depth path (the role
     # of PCL integral-image smoothing 10, `src/Frame.cc:715-728`); 0/1 = off
     smooth_window: int = 5
@@ -249,7 +257,8 @@ class SystemConfig:
             orb=ORBConfig(n_features=256, n_levels=4, max_keypoints=256, tile=16),
             lines=LineConfig(max_lines=16, keep_top=16, n_depth_samples=24,
                              ransac_iters=16, min_length_px=15.0),
-            planes=PlaneConfig(max_planes=8, min_size=120, block=8, merge_rounds=16),
+            planes=PlaneConfig(max_planes=8, min_size=120, block=8,
+                               merge_rounds=16, refine_stride=1),
             manhattan=ManhattanConfig(max_normals=512),
             map=MapConfig(max_keyframes=32, max_points=4096, max_lines=256,
                           max_planes=32, plane_cloud_capacity=512),

@@ -100,7 +100,22 @@ def select_keypoints(score: jnp.ndarray, tile: int, k_total: int,
 
     n_tiles = nth * ntw
     k_tile = max(1, min(tile * tile, -(-2 * k_total // n_tiles)))
-    vals, idx = jax.lax.top_k(tiles, k_tile)  # (n_tiles, k_tile)
+    if k_tile <= 4:
+        # extract-the-max k_tile times: lax.top_k lowers to a full per-row
+        # sort on TPU; k_tile is 1-4 here, so a few argmax+mask passes are
+        # far cheaper than sorting every tile's tile^2 scores
+        cols = jax.lax.broadcasted_iota(jnp.int32, tiles.shape, 1)
+        vs, is_ = [], []
+        t_cur = tiles
+        for _ in range(k_tile):
+            i_b = jnp.argmax(t_cur, axis=1).astype(jnp.int32)
+            vs.append(jnp.take_along_axis(t_cur, i_b[:, None], axis=1)[:, 0])
+            is_.append(i_b)
+            t_cur = jnp.where(cols == i_b[:, None], -1.0, t_cur)
+        vals = jnp.stack(vs, axis=1)
+        idx = jnp.stack(is_, axis=1)
+    else:
+        vals, idx = jax.lax.top_k(tiles, k_tile)  # (n_tiles, k_tile)
 
     # tile-local -> global pixel coords
     ty = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, k_tile), 0) // ntw

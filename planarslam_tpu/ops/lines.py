@@ -103,9 +103,14 @@ def detect_lines(gray: jnp.ndarray, cfg: LineConfig,
     # --- restrict all per-line work to the strongest E edge pixels --------
     # The dense (L, H*W) formulation moves hundreds of MB per frame; the
     # top-E restriction keeps every array at (L, E) (HBM-bandwidth fix).
+    # approx_max_k, not lax.top_k: top_k lowers to a FULL ~300K-element
+    # sort on TPU (several ms); the TPU-native partial-reduce top-k is
+    # near-linear, and a 5% recall shortfall among near-equal edge
+    # magnitudes is immaterial to Hough voting (CPU lowers it exactly).
     E = min(6144, h * w)
     edge_score = jnp.where(edge, mag, 0.0).reshape(-1)
-    top_mag, top_pix = jax.lax.top_k(edge_score, E)
+    top_mag, top_pix = jax.lax.approx_max_k(edge_score, E,
+                                            recall_target=0.95)
     flat_edge = top_mag > 0.0
     flat_t = t_bin.reshape(-1)[top_pix]
     flat_r = rho.reshape(-1)[top_pix]

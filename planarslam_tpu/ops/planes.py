@@ -207,8 +207,13 @@ def _block_moments(points: jnp.ndarray, valid: jnp.ndarray, block: int
     return _BlockStats(s1, s2, n)
 
 
-def extract_planes(depth: jnp.ndarray, cam: CameraConfig, cfg: PlaneConfig
-                   ) -> PlaneFeatures:
+def extract_planes_debug(depth, cam, cfg, stop: str = "full"):
+    """extract_planes truncated after a named stage (profiling only)."""
+    return extract_planes(depth, cam, cfg, _stop=stop)
+
+
+def extract_planes(depth: jnp.ndarray, cam: CameraConfig, cfg: PlaneConfig,
+                   _stop: str = "full") -> PlaneFeatures:
     """Full plane segmentation for one frame (PEAC-equivalent)."""
     h, w = depth.shape
     block = cfg.block
@@ -241,8 +246,11 @@ def extract_planes(depth: jnp.ndarray, cam: CameraConfig, cfg: PlaneConfig
                    + jnp.roll(depth, -2, axis=1))
     interior = depth_ok & jnp.roll(depth_ok, -1, axis=1) \
         & jnp.roll(depth_ok, -2, axis=1)
-    alpha = jnp.nanmedian(jnp.where(interior, d2_r / z2, jnp.nan)) \
-        / (0.674 * jnp.sqrt(6.0))
+    # median over a 4x4-strided subsample: the full-frame nanmedian is a
+    # 307K-element SORT on TPU (several ms); ~19K samples estimate the same
+    # noise statistic to well under the 3-sigma gate's tolerance
+    sub_r = jnp.where(interior, d2_r / z2, jnp.nan)[::4, ::4]
+    alpha = jnp.nanmedian(sub_r) / (0.674 * jnp.sqrt(6.0))
     alpha = jnp.nan_to_num(alpha, nan=0.0)
     tol = jnp.maximum(0.02 * res_scale * jnp.maximum(depth, 1.0),
                       3.0 * jnp.sqrt(2.0) * alpha * z2)
@@ -265,6 +273,8 @@ def extract_planes(depth: jnp.ndarray, cam: CameraConfig, cfg: PlaneConfig
     full = stats.n >= (block * block - 4)
     mse_thresh = (cfg.block_mse_sigma * z_blk * z_blk + cfg.block_mse_tol) ** 2
     block_valid = full & (mse_b < mse_thresh) & (z_blk > 1e-6)
+    if _stop == "blocks":
+        return normal_b, d_b, mse_b, mean_b, block_valid
 
     # --- connected components over "coplanar neighbors" ----------------------
     angle_cos = jnp.cos(jnp.deg2rad(cfg.angle_threshold_deg * 2.0))
@@ -280,20 +290,34 @@ def extract_planes(depth: jnp.ndarray, cam: CameraConfig, cfg: PlaneConfig
     iy, ix = ids // wb, ids % wb
     nbr_right = jnp.where(ix + 1 < wb, ids + 1, ids)
     nbr_down = jnp.where(iy + 1 < hb, ids + wb, ids)
-    edge_r = similar(ids, nbr_right) & (nbr_right != ids)
-    edge_d = similar(ids, nbr_down) & (nbr_down != ids)
+    edge_r = (similar(ids, nbr_right) & (nbr_right != ids)).reshape(hb, wb)
+    edge_d = (similar(ids, nbr_down) & (nbr_down != ids)).reshape(hb, wb)
+    # pulls from the left/up neighbor reuse the same edges, shifted (the
+    # wrap row/column is masked: edge_r is False in the last column and
+    # edge_d in the last row by construction)
+    edge_l = jnp.roll(edge_r, 1, axis=1)
+    edge_u = jnp.roll(edge_d, 1, axis=0)
+    big = jnp.int32(n_blocks)
 
     def prop(labels, _):
-        lr = jnp.where(edge_r, labels[nbr_right], labels)
-        ld = jnp.where(edge_d, labels[nbr_down], labels)
-        # symmetric: also pull from left/up via scatter-min
-        new = jnp.minimum(labels, jnp.minimum(lr, ld))
-        new = new.at[nbr_right].min(jnp.where(edge_r, labels, n_blocks))
-        new = new.at[nbr_down].min(jnp.where(edge_d, labels, n_blocks))
+        # symmetric 4-neighbor min pull on the 2D block grid — rolls, not
+        # scatter-min: TPU lowers .at[].min to a serialized scatter (slow),
+        # while rolls are pure vector shifts
+        lab2 = labels.reshape(hb, wb)
+        new = jnp.minimum(
+            jnp.minimum(
+                jnp.where(edge_r, jnp.roll(lab2, -1, axis=1), big),
+                jnp.where(edge_l, jnp.roll(lab2, 1, axis=1), big)),
+            jnp.minimum(
+                jnp.where(edge_d, jnp.roll(lab2, -1, axis=0), big),
+                jnp.where(edge_u, jnp.roll(lab2, 1, axis=0), big)))
+        new = jnp.minimum(lab2, new).reshape(-1)
         new = new[new]  # pointer jumping (path halving)
         return new, None
 
     labels, _ = jax.lax.scan(prop, ids, None, length=cfg.merge_rounds)
+    if _stop == "cc":
+        return labels
 
     # --- per-component refit --------------------------------------------------
     seg = jnp.where(block_valid, labels, n_blocks)  # invalid -> overflow bin
@@ -320,6 +344,8 @@ def extract_planes(depth: jnp.ndarray, cam: CameraConfig, cfg: PlaneConfig
            & cand_valid[:, None] & cand_valid[None, :])
     shadowed = jnp.tril(dup, -1).any(axis=1)  # earlier index = larger support
     cand_valid = cand_valid & ~shadowed
+    if _stop == "topk":
+        return normal_c, d_c, mse_c, mean_c, cand_valid
 
     # --- pixel-level refinement ----------------------------------------------
     # assign each valid pixel to the nearest candidate plane. The band is
@@ -329,24 +355,33 @@ def extract_planes(depth: jnp.ndarray, cam: CameraConfig, cfg: PlaneConfig
     # symmetrically around the CANDIDATE plane, so the refit inherits the
     # candidate's error instead of averaging noise away (measured: plane d
     # errors ~ sigma(z_mean) ~ 5 cm at 4 m instead of mse/sqrt(N)).
-    pts_flat = points.reshape(-1, 3)
-    band_pix = jnp.maximum(cfg.distance_threshold,
-                           3.0 * alpha * z2).reshape(-1)
-    dist_pix = jnp.abs(pts_flat @ normal_c.T + d_c[None, :])  # (HW, P)
+    # the assign/refit rounds run on a refine_stride-subsampled grid (the
+    # (HW, P) distance matrix + one-hot refit dominate extract_planes at
+    # 3.3-3.6 ms/round full-res on TPU; moments from HW/stride^2 samples
+    # estimate the same plane parameters). Counts are scaled by stride^2 so
+    # min_size and the host-facing support stay in full-res pixel units.
+    rs = max(1, int(cfg.refine_stride))
+    pts_sub = points[::rs, ::rs].reshape(-1, 3)
+    band_sub = jnp.maximum(cfg.distance_threshold,
+                           3.0 * alpha * z2[::rs, ::rs]).reshape(-1)
+    ok_sub = depth_ok[::rs, ::rs].reshape(-1)
+    area = jnp.float32(rs * rs)
+
+    dist_pix = jnp.abs(pts_sub @ normal_c.T + d_c[None, :])  # (S, P)
     dist_pix = jnp.where(cand_valid[None, :], dist_pix, jnp.inf)
     best = jnp.argmin(dist_pix, axis=-1)
-    best_dist = jnp.take_along_axis(dist_pix, best[:, None], axis=-1)[:, 0]
-    assigned = (best_dist < band_pix) & depth_ok.reshape(-1)
-    label_pix = jnp.where(assigned, best, p_cap).astype(jnp.int32)
+    best_dist = jnp.min(dist_pix, axis=-1)
+    assigned = (best_dist < band_sub) & ok_sub
+    label_sub = jnp.where(assigned, best, p_cap).astype(jnp.int32)
 
     # refit from pixel moments with a one-hot matmul (MXU)
-    x, y, z = pts_flat[:, 0], pts_flat[:, 1], pts_flat[:, 2]
+    x, y, z = pts_sub[:, 0], pts_sub[:, 1], pts_sub[:, 2]
     feats = jnp.stack([x, y, z, x * x, x * y, x * z, y * y, y * z, z * z,
-                       jnp.ones_like(x)], axis=-1)  # (HW, 10)
+                       jnp.ones_like(x)], axis=-1)  # (S, 10)
 
     def refit(labels):
         one_hot = jax.nn.one_hot(labels, p_cap + 1, dtype=jnp.float32)
-        agg = one_hot.T @ feats  # (P+1, 10)
+        agg = one_hot.T @ feats * area  # (P+1, 10), full-res pixel units
         s1_p = agg[:p_cap, :3]
         s2_p = jnp.stack([
             jnp.stack([agg[:p_cap, 3], agg[:p_cap, 4], agg[:p_cap, 5]], -1),
@@ -356,7 +391,9 @@ def extract_planes(depth: jnp.ndarray, cam: CameraConfig, cfg: PlaneConfig
         n_p = agg[:p_cap, 9]
         return _plane_from_moments(s1_p, s2_p, n_p) + (n_p,)
 
-    normal_f, d_f, mse_f, mean_f, n_p = refit(label_pix)
+    normal_f, d_f, mse_f, mean_f, n_p = refit(label_sub)
+    if _stop == "assign":
+        return normal_f, d_f, mse_f, mean_f, n_p
 
     # robust re-assign + re-gated refit (the role of PEAC's refineDetails,
     # `AHCPlaneFitter.hpp`): each round re-assigns every pixel to its
@@ -368,8 +405,9 @@ def extract_planes(depth: jnp.ndarray, cam: CameraConfig, cfg: PlaneConfig
     # sensor noise) and starves ghost candidates — tilted fits through a
     # noise slab lose their support to the honest plane they cross and die
     # at the final count/mse gate.
-    depth_ok_flat = depth_ok.reshape(-1)
     cos25 = jnp.float32(0.9063)  # cos(25 deg)
+    # tau also gates the final full-res labeling when refine_rounds == 0
+    tau = jnp.maximum(2.5 * jnp.sqrt(jnp.maximum(mse_f, 0.0)), 1e-3)
     for _ in range(cfg.refine_rounds):
         # ghost merge: a candidate whose CENTROID lies inside a bigger
         # plane's noise band (and within 25 deg of its normal) is a slice
@@ -389,13 +427,13 @@ def extract_planes(depth: jnp.ndarray, cam: CameraConfig, cfg: PlaneConfig
         alive = alive & ~shadow.any(axis=1)
 
         tau = jnp.maximum(2.5 * jnp.sqrt(jnp.maximum(mse_f, 0.0)), 1e-3)
-        dist_r = jnp.abs(pts_flat @ normal_f.T + d_f[None, :])
+        dist_r = jnp.abs(pts_sub @ normal_f.T + d_f[None, :])
         dist_r = jnp.where(alive[None, :], dist_r, jnp.inf)
         best_r = jnp.argmin(dist_r, axis=-1)
-        best_rd = jnp.take_along_axis(dist_r, best_r[:, None], axis=-1)[:, 0]
-        keep = (best_rd < jnp.minimum(tau[best_r], band_pix)) & depth_ok_flat
-        label_pix = jnp.where(keep, best_r, p_cap).astype(jnp.int32)
-        normal_f, d_f, mse_f, mean_f, n_p = refit(label_pix)
+        best_rd = jnp.min(dist_r, axis=-1)
+        keep = (best_rd < jnp.minimum(tau[best_r], band_sub)) & ok_sub
+        label_sub = jnp.where(keep, best_r, p_cap).astype(jnp.int32)
+        normal_f, d_f, mse_f, mean_f, n_p = refit(label_sub)
         cand_valid = cand_valid & alive
 
     count = n_p.astype(jnp.int32)
@@ -407,6 +445,24 @@ def extract_planes(depth: jnp.ndarray, cam: CameraConfig, cfg: PlaneConfig
     coeffs = jnp.concatenate([normal_f, d_f[:, None]], axis=-1)
     coeffs = plane_geo.normalize(coeffs)
     coeffs = jnp.where(valid[:, None], coeffs, 0.0)
+
+    # final FULL-resolution pixel labeling against the surviving refined
+    # planes (the refine rounds ran on the subsampled grid; pixel_label is
+    # a per-pixel product) — one (HW, P) distance pass, same tau/band gate
+    # as the refine rounds
+    if rs == 1:
+        label_pix = label_sub
+    else:
+        pts_flat = points.reshape(-1, 3)
+        band_pix = jnp.maximum(cfg.distance_threshold,
+                               3.0 * alpha * z2).reshape(-1)
+        dist_full = jnp.abs(pts_flat @ normal_f.T + d_f[None, :])
+        dist_full = jnp.where(valid[None, :], dist_full, jnp.inf)
+        best_f = jnp.argmin(dist_full, axis=-1)
+        best_fd = jnp.min(dist_full, axis=-1)
+        keep_f = (best_fd < jnp.minimum(tau[best_f], band_pix)) \
+            & depth_ok.reshape(-1)
+        label_pix = jnp.where(keep_f, best_f, p_cap).astype(jnp.int32)
 
     pixel_label = jnp.where(
         (label_pix < p_cap) & valid[jnp.clip(label_pix, 0, p_cap - 1)],

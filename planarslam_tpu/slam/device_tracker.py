@@ -526,25 +526,25 @@ def fused_track_chunk(
     (loop corrections) are applied to `last` on the host BEFORE dispatch, so
     the in-chunk step never needs them.
 
-    Structure: extraction has NO inter-frame dependency, so the C
-    extractions run as ONE vmapped batch (big batched ops — the per-frame
-    sorts/gathers/conv slabs amortize across the chunk instead of running C
-    times serially inside the scan); only the genuinely sequential
-    match+optimize chain (_track_core) is scanned."""
+    Structure: the full step (extraction + _track_core) is scanned
+    serially. Extraction has no inter-frame dependency, but vmapping the C
+    extractions into one batch was MEASURED 47.5 ms/frame marginal on the
+    TPU (C=2 vs C=8 differencing) versus <0.1 ms/frame in serial scan form
+    — the batched lowering of the per-keypoint gathers (orientation
+    patches, BRIEF samples, already vmapped over keypoints) and the
+    per-level sorts degrades catastrophically under a second vmap axis, so
+    task order beats data batching here."""
     eye4 = jnp.eye(4, dtype=jnp.float32)
     no = jnp.asarray(False)
 
-    def ext(g, d):
-        return extract_frame(*to_gray_depth(g, d, cfg), cfg)
-
-    feats_all = jax.vmap(ext)(grays, depths)  # (C, ...) leading axis
-
-    def body(state, feats):
+    def body(state, gd):
+        g, d = gd
+        feats = extract_frame(*to_gray_depth(g, d, cfg), cfg)
         res = _track_core(feats, eye4, no, R_wm, manh_enabled, state,
                           win, weights, cfg)
         return res.new_state, (res.packed, res.new_state)
 
-    final_state, (packed, states) = jax.lax.scan(body, last, feats_all)
+    final_state, (packed, states) = jax.lax.scan(body, last, (grays, depths))
     return ChunkResult(packed=packed, states=states, final_state=final_state)
 
 

@@ -64,15 +64,18 @@ def main():
             return run
 
         r1, r2 = make(K1), make(K2)
-        jax.block_until_ready(r1(gd, dd))
-        jax.block_until_ready(r2(gd, dd))
+        # np.asarray pull, NOT block_until_ready: the tunnel backend's
+        # block_until_ready returns before the device program finishes for
+        # scalar results (measured all-zero timings); a host pull is the
+        # only reliable barrier here.
+        np.asarray(r1(gd, dd)), np.asarray(r2(gd, dd))
         t1s, t2s = [], []
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(r1(gd, dd))
+            np.asarray(r1(gd, dd))
             t1s.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
-            jax.block_until_ready(r2(gd, dd))
+            np.asarray(r2(gd, dd))
             t2s.append(time.perf_counter() - t0)
         return (min(t2s) - min(t1s)) / (K2 - K1)
 
