@@ -204,6 +204,10 @@ class TrackingConfig:
     # that many frames (the reference's async LocalMapping has the same
     # kind of lag). Host-side only — changing it never recompiles.
     pipeline_depth: int = 2
+    # chunked mode: whole chunks in flight before the oldest is drained —
+    # the chunk-granularity analogue of pipeline_depth (host-side only,
+    # never recompiles)
+    chunk_pipeline_depth: int = 2
 
     def __post_init__(self):
         # a negative depth would make the pipeline drain loop pop from an
@@ -214,6 +218,9 @@ class TrackingConfig:
         if self.chunk_size < 1:
             raise ValueError(
                 f"chunk_size must be >= 1, got {self.chunk_size}")
+        if self.chunk_pipeline_depth < 0:
+            raise ValueError(f"chunk_pipeline_depth must be >= 0, "
+                             f"got {self.chunk_pipeline_depth}")
 
 
 @dataclass(frozen=True)

@@ -358,14 +358,23 @@ def _adaptive_sim_gate(best: jnp.ndarray, cand: jnp.ndarray,
     the candidate median — scale-free in descriptor-distance units —
     clamped to [floor, min_sim]: it may RELAX below the fixed gate when
     statistics shift down (never below `floor`), and never tightens
-    above the calibrated `min_sim`. With < 6 candidates the statistics
-    are meaningless and the fixed gate applies."""
+    above the calibrated `min_sim`.
+
+    Relaxation must be EARNED: in a frame with no true correspondences
+    (scene cut, occlusion, low overlap) the best-sims also cluster low
+    with small dispersion, and a gate that blindly follows the median
+    would wave ~floor-sim noise into pose optimization. The statistics
+    are only trusted when >= 6 candidates already clear a quality bar
+    halfway between floor and the calibrated gate — a population of
+    genuinely decent matches whose level shifted, not a wall of noise.
+    Otherwise the fixed `min_sim` gate applies."""
     bn = jnp.where(cand, best, jnp.nan)
     med = jnp.nanmedian(bn)
     mad = 1.4826 * jnp.nanmedian(jnp.abs(bn - med))
     th_adapt = jnp.clip(med - lam * mad, floor, min_sim)
-    enough = jnp.sum(cand.astype(jnp.int32)) >= 6
-    th = jnp.where(enough & jnp.isfinite(th_adapt), th_adapt, min_sim)
+    quality_bar = 0.5 * (floor + min_sim)
+    earned = jnp.sum((cand & (best >= quality_bar)).astype(jnp.int32)) >= 6
+    th = jnp.where(earned & jnp.isfinite(th_adapt), th_adapt, min_sim)
     return best > th
 
 

@@ -460,7 +460,11 @@ def extract_planes(depth: jnp.ndarray, cam: CameraConfig, cfg: PlaneConfig,
         dist_full = jnp.where(valid[None, :], dist_full, jnp.inf)
         best_f = jnp.argmin(dist_full, axis=-1)
         best_fd = jnp.min(dist_full, axis=-1)
-        keep_f = (best_fd < jnp.minimum(tau[best_f], band_pix)) \
+        # tau from the POST-loop mse_f: the loop recomputes tau at iteration
+        # top then refits at the bottom, so the loop-carried tau is one
+        # refit stale relative to the final planes labeled against here
+        tau_f = jnp.maximum(2.5 * jnp.sqrt(jnp.maximum(mse_f, 0.0)), 1e-3)
+        keep_f = (best_fd < jnp.minimum(tau_f[best_f], band_pix)) \
             & depth_ok.reshape(-1)
         label_pix = jnp.where(keep_f, best_f, p_cap).astype(jnp.int32)
 

@@ -65,8 +65,7 @@ class MappingLayout:
         return out
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def mapping_step(
+def _mapping_step_impl(
     # own-KF data
     own_T: jnp.ndarray,         # (4, 4)
     own_uv: jnp.ndarray,        # (K, 2)
@@ -245,8 +244,111 @@ def mapping_step(
     return jnp.concatenate(parts)
 
 
+mapping_step = partial(jax.jit, static_argnames=("cfg",))(_mapping_step_impl)
+
+
+class PackedInputLayout:
+    """Static layout for packing a device program's whole input list into
+    ONE float32 buffer — a per-leaf eager `jnp.asarray` upload costs one
+    tunnel transaction each (2-60 ms under load); a 10-26-leaf argument
+    list costs more than the program itself on every keyframe. Ints/uints
+    ride as bitcast float32 (exact), bools as 0/1."""
+
+    KINDS = {"f": np.float32, "u": np.uint32, "i": np.int32, "b": bool}
+
+    def __init__(self, fields):
+        self.fields = fields
+        self.sizes = [int(np.prod(s)) for _, s, _ in self.fields]
+        self.total = sum(self.sizes)
+
+    def pack(self, arrays: dict) -> np.ndarray:
+        parts = []
+        for (name, shape, kind), size in zip(self.fields, self.sizes):
+            a = np.ascontiguousarray(arrays[name])
+            assert a.shape == shape, (name, a.shape, shape)
+            if kind == "f":
+                p = a.astype(np.float32, copy=False)
+            elif kind in ("u", "i"):
+                p = a.astype(self.KINDS[kind], copy=False).view(np.float32)
+            else:
+                p = a.astype(np.float32)
+            parts.append(p.reshape(-1))
+        return np.concatenate(parts)
+
+    def unpack_device(self, flat: jnp.ndarray) -> list:
+        out = []
+        off = 0
+        for (name, shape, kind), size in zip(self.fields, self.sizes):
+            x = flat[off:off + size].reshape(shape)
+            if kind == "u":
+                x = jax.lax.bitcast_convert_type(x, jnp.uint32)
+            elif kind == "i":
+                x = jax.lax.bitcast_convert_type(x, jnp.int32)
+            elif kind == "b":
+                x = x > 0.5
+            out.append(x)
+            off += size
+        return out
+
+
+class MappingInputLayout(PackedInputLayout):
+    """mapping_step inputs (26 leaves) as one packed upload."""
+
+    def __init__(self, cfg: SystemConfig):
+        K = cfg.orb.max_keypoints
+        L = cfg.lines.max_lines
+        D = cfg.lines.desc_dim
+        NB = N_NEIGHBORS
+        # (name, shape, kind) in _mapping_step_impl argument order
+        super().__init__([
+            ("own_T", (4, 4), "f"), ("own_uv", (K, 2), "f"),
+            ("own_desc", (K, 8), "u"), ("own_level", (K,), "i"),
+            ("own_free", (K,), "b"), ("lm_xyz", (K, 3), "f"),
+            ("lm_desc", (K, 8), "u"), ("lm_valid", (K,), "b"),
+            ("nb_T", (NB, 4, 4), "f"), ("nb_uv", (NB, K, 2), "f"),
+            ("nb_desc", (NB, K, 8), "u"), ("nb_level", (NB, K), "i"),
+            ("nb_valid", (NB, K), "b"), ("nb_ur", (NB, K), "f"),
+            ("nb_free", (NB, K), "b"), ("nb_ok", (NB,), "b"),
+            ("own_ln_uvs", (L, 2), "f"), ("own_ln_uve", (L, 2), "f"),
+            ("own_ln_l2d", (L, 3), "f"), ("own_ln_desc", (L, D), "f"),
+            ("own_ln_angle", (L,), "f"), ("own_ln_free", (L,), "b"),
+            ("nb_ln_l2d", (NB, L, 3), "f"), ("nb_ln_desc", (NB, L, D), "f"),
+            ("nb_ln_angle", (NB, L), "f"), ("nb_ln_free", (NB, L), "b"),
+        ])
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def mapping_step_packed(flat: jnp.ndarray, cfg: SystemConfig) -> jnp.ndarray:
+    """mapping_step over ONE packed input upload (see MappingInputLayout)."""
+    return _mapping_step_impl(*MappingInputLayout(cfg).unpack_device(flat),
+                              cfg)
+
+
+class FuseSetInputLayout(PackedInputLayout):
+    """fuse_set_step inputs (10 leaves) as one packed upload."""
+
+    def __init__(self, cfg: SystemConfig):
+        K = cfg.orb.max_keypoints
+        C = cfg.orb.max_keypoints  # landmark set capacity (== K)
+        NB = N_NEIGHBORS
+        super().__init__([
+            ("lm_xyz", (C, 3), "f"), ("lm_desc", (C, 8), "u"),
+            ("lm_valid", (C,), "b"), ("nb_T", (NB, 4, 4), "f"),
+            ("nb_uv", (NB, K, 2), "f"), ("nb_desc", (NB, K, 8), "u"),
+            ("nb_level", (NB, K), "i"), ("nb_valid", (NB, K), "b"),
+            ("nb_ur", (NB, K), "f"), ("nb_ok", (NB,), "b"),
+        ])
+
+
 @partial(jax.jit, static_argnames=("cfg", "radius"))
-def fuse_set_step(
+def fuse_set_step_packed(flat: jnp.ndarray, cfg: SystemConfig,
+                         radius: float = 4.0) -> jnp.ndarray:
+    """fuse_set_step over ONE packed input upload (see FuseSetInputLayout)."""
+    return _fuse_set_impl(*FuseSetInputLayout(cfg).unpack_device(flat),
+                          cfg, radius=radius)
+
+
+def _fuse_set_impl(
     lm_xyz: jnp.ndarray,    # (C, 3) landmark positions (world)
     lm_desc: jnp.ndarray,   # (C, 8)
     lm_valid: jnp.ndarray,  # (C,) bool
@@ -279,9 +381,14 @@ def fuse_set_step(
                          nb_ok)
 
 
+fuse_set_step = partial(jax.jit,
+                        static_argnames=("cfg", "radius"))(_fuse_set_impl)
+
+
 def run_fuse_set(slam_map, lm_ids: np.ndarray, target_kfs, cfg: SystemConfig,
                  radius: float = 4.0) -> dict:
-    """Host wrapper for fuse_set_step over up to N_NEIGHBORS target KFs."""
+    """Host wrapper for fuse_set_step over up to N_NEIGHBORS target KFs.
+    ONE packed upload + ONE program + ONE pull."""
     m = slam_map
     C = cfg.orb.max_keypoints
     ids = np.full(C, 0, np.int64)
@@ -295,12 +402,13 @@ def run_fuse_set(slam_map, lm_ids: np.ndarray, target_kfs, cfg: SystemConfig,
     nb_ok = np.zeros(NB, bool)
     nb_ok[:len(tg)] = True
     nb_arr = np.asarray(nb_ids)
-    idx = fuse_set_step(
-        jnp.asarray(m.pt_xyz[ids]), jnp.asarray(m.pt_desc[ids]),
-        jnp.asarray(valid), jnp.asarray(m.kf_pose[nb_arr]),
-        jnp.asarray(m.kf_uv[nb_arr]), jnp.asarray(m.kf_desc[nb_arr]),
-        jnp.asarray(m.kf_level[nb_arr]), jnp.asarray(m.kf_feat_valid[nb_arr]),
-        jnp.asarray(m.kf_ur[nb_arr]), jnp.asarray(nb_ok), cfg, radius=radius)
+    flat = FuseSetInputLayout(cfg).pack({
+        "lm_xyz": m.pt_xyz[ids], "lm_desc": m.pt_desc[ids],
+        "lm_valid": valid, "nb_T": m.kf_pose[nb_arr],
+        "nb_uv": m.kf_uv[nb_arr], "nb_desc": m.kf_desc[nb_arr],
+        "nb_level": m.kf_level[nb_arr], "nb_valid": m.kf_feat_valid[nb_arr],
+        "nb_ur": m.kf_ur[nb_arr], "nb_ok": nb_ok})
+    idx = fuse_set_step_packed(jnp.asarray(flat), cfg, radius=radius)
     return {"idx": np.asarray(idx), "lm_ids": ids, "lm_valid": valid,
             "nb_ids": nb_arr, "nb_ok": nb_ok}
 
@@ -340,24 +448,26 @@ def run_mapping_step(slam_map, kf: int, cfg: SystemConfig) -> dict:
     nb_ln_free = ((m.kf_ln_idx[nb_ids_arr] < 0)
                   & m.kf_ln_valid[nb_ids_arr]) & tri_ok[:, None]
 
-    packed = mapping_step(
-        jnp.asarray(m.kf_pose[kf]), jnp.asarray(m.kf_uv[kf]),
-        jnp.asarray(m.kf_desc[kf]), jnp.asarray(m.kf_level[kf]),
-        jnp.asarray(own_free), jnp.asarray(m.pt_xyz[lm_ids]),
-        jnp.asarray(m.pt_desc[lm_ids]), jnp.asarray(lm_valid),
-        jnp.asarray(m.kf_pose[nb_ids_arr]), jnp.asarray(m.kf_uv[nb_ids_arr]),
-        jnp.asarray(m.kf_desc[nb_ids_arr]),
-        jnp.asarray(m.kf_level[nb_ids_arr]),
-        jnp.asarray(m.kf_feat_valid[nb_ids_arr]),
-        jnp.asarray(m.kf_ur[nb_ids_arr]), jnp.asarray(nb_free),
-        jnp.asarray(nb_ok),
-        jnp.asarray(m.kf_ln_uv_s[kf]), jnp.asarray(m.kf_ln_uv_e[kf]),
-        jnp.asarray(m.kf_ln_line2d[kf]), jnp.asarray(m.kf_ln_desc[kf]),
-        jnp.asarray(m.kf_ln_angle[kf]), jnp.asarray(own_ln_free),
-        jnp.asarray(m.kf_ln_line2d[nb_ids_arr]),
-        jnp.asarray(m.kf_ln_desc[nb_ids_arr]),
-        jnp.asarray(m.kf_ln_angle[nb_ids_arr]), jnp.asarray(nb_ln_free),
-        cfg)
+    in_layout = MappingInputLayout(cfg)
+    flat = in_layout.pack({
+        "own_T": m.kf_pose[kf], "own_uv": m.kf_uv[kf],
+        "own_desc": m.kf_desc[kf], "own_level": m.kf_level[kf],
+        "own_free": own_free, "lm_xyz": m.pt_xyz[lm_ids],
+        "lm_desc": m.pt_desc[lm_ids], "lm_valid": lm_valid,
+        "nb_T": m.kf_pose[nb_ids_arr], "nb_uv": m.kf_uv[nb_ids_arr],
+        "nb_desc": m.kf_desc[nb_ids_arr], "nb_level": m.kf_level[nb_ids_arr],
+        "nb_valid": m.kf_feat_valid[nb_ids_arr],
+        "nb_ur": m.kf_ur[nb_ids_arr], "nb_free": nb_free, "nb_ok": nb_ok,
+        "own_ln_uvs": m.kf_ln_uv_s[kf], "own_ln_uve": m.kf_ln_uv_e[kf],
+        "own_ln_l2d": m.kf_ln_line2d[kf], "own_ln_desc": m.kf_ln_desc[kf],
+        "own_ln_angle": m.kf_ln_angle[kf], "own_ln_free": own_ln_free,
+        "nb_ln_l2d": m.kf_ln_line2d[nb_ids_arr],
+        "nb_ln_desc": m.kf_ln_desc[nb_ids_arr],
+        "nb_ln_angle": m.kf_ln_angle[nb_ids_arr], "nb_ln_free": nb_ln_free,
+    })
+    # ONE upload + ONE program + ONE pull per keyframe (the per-leaf
+    # argument list cost ~26 tunnel transactions each insertion)
+    packed = mapping_step_packed(jnp.asarray(flat), cfg)
     out = layout.unpack(np.asarray(packed))  # ONE sync
     out["nb_ids"] = nb_ids_arr
     out["nb_ok"] = nb_ok

@@ -444,15 +444,15 @@ class LocalMapping:
         used a scale-blind nobs>=4 proxy). Skipped for KFs that introduced
         a new plane (`:1226-1231`).
 
-        Observer counting runs over the candidate's COVISIBILITY
-        neighborhood instead of every keyframe in the map: any KF observing
-        >= covis_min_weight of the candidate's points IS a covisibility
-        neighbor by construction, so the only counts missed are from KFs
-        sharing fewer than ~15 points — which can never push a point past
-        the >=3-observers bar for 90% of a 20+-point candidate. The
-        reference bounds the same loop via per-point observation lists
-        (`src/MapPoint.cc`); a whole-map scan per insertion was O(n_kf)
-        host time (round-3 VERDICT weak #3)."""
+        Observer counting runs over the candidate's covisibility row at
+        min_weight=1 — every KF sharing at least one point, which is
+        EXACTLY the set the reference's per-point observation lists cover
+        (`src/MapPoint.cc`) — instead of every keyframe in the map (a
+        whole-map scan per insertion was O(n_kf) host time, round-3
+        VERDICT weak #3). The default >=15-weight neighborhood was not
+        equivalent: a point observed mainly by low-overlap KFs was
+        undercounted and the candidate retained where the reference would
+        cull."""
         m = self.map
         n_pts_cap = m.pt_valid.shape[0]
         for cand in m.covisible_kfs(kf):
@@ -471,7 +471,8 @@ class LocalMapping:
             lut = np.full(n_pts_cap, -1, np.int64)
             lut[own] = np.arange(len(own))
             counts = np.zeros(len(own), np.int32)
-            observers = set(int(c) for c in m.covisible_kfs(cand))
+            observers = set(int(c) for c in m.covisible_kfs(cand,
+                                                            min_weight=1))
             observers.add(kf)
             for other in sorted(observers):
                 if other == cand or not m.kf_valid[other]:

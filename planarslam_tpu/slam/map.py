@@ -180,6 +180,102 @@ class SlamMap:
         self.n_kf += 1
         return kf
 
+    def compact_keyframes(self) -> Optional[np.ndarray]:
+        """Reclaim the slots of culled keyframes by compacting valid KFs to
+        the front (in insertion order, preserving the id-order == time-order
+        invariant the recency gates rely on).
+
+        The reference's KeyFrame lifecycle is unbounded (`src/KeyFrame.cc:
+        560-620` keeps bad KFs as husks holding mTcp chains); this build's
+        fixed-capacity slots would otherwise exhaust on long sequences with
+        culling churn (every insertion permanently burned a slot). Culled
+        husks are DROPPED here: every reference to them must be flattened
+        to a valid anchor first — this method folds the map-internal ones
+        (spanning-tree parents, landmark first_kf anchors, loop edges);
+        callers owning external references (trajectory records, tracker
+        ref_kf, loop streaks) flatten via the returned remap (old slot ->
+        new slot, -1 for dropped) — see System._maybe_compact_keyframes.
+
+        Returns the remap, or None if there was nothing to reclaim."""
+        old_valid = np.flatnonzero(self.kf_valid[:self.n_kf])
+        V = len(old_valid)
+        if V == self.n_kf:
+            return None
+        remap = np.full(self.n_kf_slots, -1, np.int32)
+        remap[old_valid] = np.arange(V, dtype=np.int32)
+
+        def fold(k: int) -> int:
+            """Nearest valid ancestor in NEW ids (the cull-time relative
+            cancels in every before/after correction — see _correct)."""
+            a, _ = self.resolve_kf(int(k))
+            return int(remap[a]) if a >= 0 else -1
+
+        # spanning-tree parents of surviving KFs -> nearest valid ancestor
+        new_parent = np.full(self.n_kf_slots, -1, np.int32)
+        for new_i, old_i in enumerate(old_valid):
+            p = int(self.kf_parent[old_i])
+            new_parent[new_i] = fold(p) if p >= 0 else -1
+            if new_parent[new_i] == new_i:  # parent chain hit itself
+                new_parent[new_i] = -1
+
+        # landmark creation anchors (used only through resolve_kf)
+        for first in (self.pt_first_kf, self.ln_first_kf, self.pl_first_kf):
+            refd = np.unique(first[first >= 0])
+            lut = {int(k): fold(int(k)) for k in refd}
+            for k, v in lut.items():
+                first[first == k] = v
+
+        # persisted loop edges: T_a_w = T_ab @ T_b_w; a culled endpoint a
+        # with T_a_w = rel_a @ T_anchor_w folds to
+        # T_anchor_w = rel_a^-1 @ T_ab @ (rel_b @ T_anchorB_w)
+        kept_ab, kept_T = [], []
+        for i in range(self.n_loop_edges):
+            a, b = (int(x) for x in self.loop_edge_ab[i])
+            aa, rel_a = self.resolve_kf(a)
+            ab_, rel_b = self.resolve_kf(b)
+            if aa < 0 or ab_ < 0 or aa == ab_:
+                continue
+            T = np.linalg.inv(rel_a) @ self.loop_edge_T[i] @ rel_b
+            kept_ab.append((remap[aa], remap[ab_]))
+            kept_T.append(T.astype(np.float32))
+
+        # move every per-KF array; reset the freed tail
+        per_kf = [self.kf_pose, self.kf_valid, self.kf_frame_id,
+                  self.kf_timestamp, self.kf_uv, self.kf_ur, self.kf_depth,
+                  self.kf_level, self.kf_angle, self.kf_desc,
+                  self.kf_feat_valid, self.kf_pt_idx, self.kf_ln_idx,
+                  self.kf_pl_idx, self.kf_pl_par_idx, self.kf_pl_ver_idx,
+                  self.kf_pl_coeffs, self.kf_ln_line2d, self.kf_ln_desc,
+                  self.kf_ln_valid, self.kf_ln_uv_s, self.kf_ln_uv_e,
+                  self.kf_ln_angle, self.kf_bow]
+        for arr in per_kf:
+            arr[:V] = arr[old_valid]
+        self.kf_valid[V:] = False
+        self.kf_frame_id[V:] = -1
+        self.kf_pt_idx[V:] = -1
+        self.kf_ln_idx[V:] = -1
+        self.kf_pl_idx[V:] = -1
+        self.kf_pl_par_idx[V:] = -1
+        self.kf_pl_ver_idx[V:] = -1
+        self.kf_feat_valid[V:] = False
+        self.kf_ln_valid[V:] = False
+        self.kf_bow[V:] = 0.0
+        self.kf_parent[:] = new_parent
+        # valid KFs carry current absolute poses; tcp is only read for
+        # culled husks, which no longer exist
+        self.kf_tcp[:] = np.eye(4, dtype=np.float32)
+        cv = self.covis[np.ix_(old_valid, old_valid)]
+        self.covis[:] = 0
+        self.covis[:V, :V] = cv
+        self.loop_edge_ab[:] = -1
+        self.loop_edge_T[:] = np.eye(4, dtype=np.float32)
+        for i, (ab, T) in enumerate(zip(kept_ab, kept_T)):
+            self.loop_edge_ab[i] = ab
+            self.loop_edge_T[i] = T
+        self.n_loop_edges = len(kept_ab)
+        self.n_kf = V
+        return remap
+
     # -- queries --------------------------------------------------------------
     def valid_kf_ids(self) -> np.ndarray:
         return np.flatnonzero(self.kf_valid[:self.n_kf])

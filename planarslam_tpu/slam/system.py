@@ -48,6 +48,7 @@ class System:
         self.localization_only = False
         self.timings: List[float] = []
         self._timestamps: List[float] = []
+        self.compactions = 0  # KF slot-recycling passes (observability)
 
     # ------------------------------------------------------------- main API
     def track_rgbd(self, gray: np.ndarray, depth: np.ndarray,
@@ -76,11 +77,19 @@ class System:
         mapping, loop closing, auto-reset — shared by track_rgbd and the
         batched replayer's external-step path."""
         if self.map.n_kf > n_kf_before:
+            prof = self.tracker.prof
+            t0 = time.perf_counter() if prof is not None else 0.0
             kf = self.map.n_kf - 1
             self.kf_db.add(self.map, kf)
+            if prof is not None:
+                t1 = time.perf_counter()
+                prof["backend_db_add"].append(t1 - t0)
             if not self.localization_only:
                 if self.local_mapper is not None:
                     self.local_mapper.process_keyframe(kf)
+                if prof is not None:
+                    t2 = time.perf_counter()
+                    prof["backend_local_mapping"].append(t2 - t1)
                 if self.loop_closer is not None:
                     T_old = self.map.kf_pose[kf].copy()
                     loop = self.loop_closer.process_keyframe(kf)
@@ -89,10 +98,84 @@ class System:
                         # map (reference CorrectLoop re-bases Tracking)
                         self.tracker.apply_map_correction(
                             T_old, self.map.kf_pose[kf].copy())
+                    if prof is not None:
+                        prof["backend_loop"].append(
+                            time.perf_counter() - t2)
+            if prof is not None:
+                prof["backend_kf"].append(time.perf_counter() - t0)
+            self._maybe_compact_keyframes()
         # auto-reset when lost with a young map (<=5 KFs, reference
         # `src/Tracking.cc:403-408` "Track lost soon after initialisation")
         if self.tracker.needs_reset and not self.localization_only:
             self.reset()
+
+    def _maybe_compact_keyframes(self) -> None:
+        """Reclaim culled KF slots when nearing capacity (the reference's
+        KeyFrame lifecycle is unbounded, `src/KeyFrame.cc:560-620`; this
+        build's fixed slots would otherwise exhaust on long sequences —
+        every insertion permanently burned one of map.max_keyframes slots
+        and `alloc_keyframe` would eventually raise mid-sequence).
+
+        All external holders of KF ids are flattened through the remap:
+        trajectory records (their cull-time relative is folded into T_cr),
+        the tracker's reference KF, loop-consistency streaks, and the
+        local mapper's probation birth stamps."""
+        m = self.map
+        if m.n_kf < m.n_kf_slots - 4:
+            return
+        tr = self.tracker
+        # resolve every externally held id BEFORE the layout moves
+        cache: dict = {}
+
+        def res(k: int):
+            k = int(k)
+            if k not in cache:
+                cache[k] = m.resolve_kf(k)
+            return cache[k]
+
+        rec_res = [res(r.ref_kf) for r in tr.records]
+        trk_anchor, _ = res(tr.ref_kf)
+        lc_streaks = {}
+        if self.loop_closer is not None:
+            for c, s in self.loop_closer._consistency.items():
+                a, _ = res(c)
+                if a >= 0:
+                    lc_streaks[a] = max(lc_streaks.get(a, 0), s)
+        lm_births = []
+        if self.local_mapper is not None:
+            for d in (self.local_mapper._recent_pts,
+                      self.local_mapper._recent_lns,
+                      self.local_mapper._recent_pls):
+                lm_births.append({lid: res(born)[0]
+                                  for lid, born in d.items()})
+
+        remap = m.compact_keyframes()
+        if remap is None:
+            # nothing culled to reclaim: the map is genuinely full; loud —
+            # the next KF insertion will raise instead of silently freezing
+            print(f"[planarslam] WARNING: keyframe capacity "
+                  f"{m.n_kf_slots} reached with no culled slots to "
+                  f"reclaim; raise config.map.max_keyframes", flush=True)
+            return
+
+        self.compactions += 1
+        for rec, (anchor, T_rel) in zip(tr.records, rec_res):
+            new_id = int(remap[anchor]) if anchor >= 0 else 0
+            if new_id != rec.ref_kf:
+                rec.T_cr = (rec.T_cr @ T_rel).astype(np.float32)
+                rec.ref_kf = new_id
+        tr.ref_kf = int(remap[trk_anchor]) if trk_anchor >= 0 else 0
+        tr._window_dirty = True
+        if self.loop_closer is not None:
+            self.loop_closer._consistency = {
+                int(remap[a]): s for a, s in lc_streaks.items()
+                if remap[a] >= 0}
+        if self.local_mapper is not None:
+            for d, births in zip((self.local_mapper._recent_pts,
+                                  self.local_mapper._recent_lns,
+                                  self.local_mapper._recent_pls), lm_births):
+                for lid, a in births.items():
+                    d[lid] = int(remap[a]) if a >= 0 and remap[a] >= 0 else 0
 
     def submit_fused_result(self, result, timestamp: float) -> np.ndarray:
         """Batched-replay entry: apply an EXTERNALLY computed fused-step

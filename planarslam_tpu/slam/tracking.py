@@ -43,6 +43,7 @@ from planarslam_tpu.ops.lines import match_lines
 from planarslam_tpu.slam.frame import FrameFeatures, extract_frame, unproject_points
 from planarslam_tpu.slam.map import SlamMap
 from planarslam_tpu.solvers import pose_opt
+from time import perf_counter as _pc
 
 
 class TrackingState(enum.Enum):
@@ -119,6 +120,7 @@ class Tracking:
         self._window = None           # DeviceWindow
         self._win_pt_ids = None       # window slot -> map point id
         self._win_ln_ids = None
+        self._win_kf_ids = None       # KFs the current window was built from
         self._win_pt_gen = None       # generation snapshot at window build
         self._win_ln_gen = None
         self._window_dirty = True
@@ -152,7 +154,7 @@ class Tracking:
         # chunked mode: how many whole chunks stay in flight before the
         # oldest is drained (round 2 kept exactly ONE — dispatch and drain
         # could never overlap deeply, VERDICT weak #3)
-        self.chunk_pipeline_depth = 2
+        self.chunk_pipeline_depth = cfg.tracking.chunk_pipeline_depth
         self._pending: list = []      # in-flight [{packed, state, meta}]
         self._pose_override = None    # host->device pose re-base (loop corr.)
         self._bundle_correction = None  # right-multiplier for in-flight poses
@@ -165,6 +167,11 @@ class Tracking:
             scale_factor=cfg.orb.scale_factor)
         self.stats = {"manhattan_success": 0, "translation_only": 0,
                       "full_pose": 0, "frames": 0, "kfs": 0, "lost": 0}
+        # per-stage wall-clock profiling: set to a defaultdict(list) to
+        # record where each frame's host time goes (the latency budget the
+        # bench publishes — pull_wait is the only stage that *stalls* on
+        # the device; everything else is host work or async dispatch)
+        self.prof: Optional[dict] = None
 
     # ------------------------------------------------------------------ utils
     def _point_obs_from_matches(self, feats: FrameFeatures, pts_w: np.ndarray,
@@ -576,6 +583,7 @@ class Tracking:
     def _refresh_window(self) -> None:
         from planarslam_tpu.slam.device_tracker import build_window
 
+        t0 = _pc() if self.prof is not None else 0.0
         kf_ids = self.map.valid_kf_ids()
         if len(kf_ids) > 12:
             # current ref KF neighborhood (covisibility-local window)
@@ -585,6 +593,7 @@ class Tracking:
                                            if self.map.kf_valid[i])))
         self._window, self._win_pt_ids, self._win_ln_ids = build_window(
             self.map, kf_ids, self.cfg)
+        self._win_kf_ids = np.asarray(kf_ids, np.int64)
         # generation snapshot: bundles computed against this window may be
         # applied AFTER a slot was erased+recycled (pipeline lag) — the
         # stamps let _process_bundle reject those slots instead of binding
@@ -594,6 +603,8 @@ class Tracking:
         self._win_ln_gen = self.map.ln_gen[
             np.clip(self._win_ln_ids, 0, None)].copy()
         self._window_dirty = False
+        if self.prof is not None:
+            self.prof["window_build"].append(_pc() - t0)
 
     def fused_step_inputs(self, gray, depth) -> tuple:
         """The fused step's argument tuple (minus cfg), as stackable
@@ -676,12 +687,23 @@ class Tracking:
 
         if self.cfg.tracking.chunk_size > 1:
             return self._track_frame_chunked(gray, depth, timestamp)
+        prof = self.prof
+        t0 = _pc() if prof is not None else 0.0
         packed = pack_frame(np.asarray(gray), np.asarray(depth))
+        if prof is not None:
+            t1 = _pc()
+            prof["pack"].append(t1 - t0)
         if packed is not None:
             # native sensor dtypes: ONE H2D transaction per frame instead
             # of two (per-transaction tunnel service time dominates)
             args = self.fused_step_inputs(packed, None)
-            result = fused_track_step_packed(*args, self.cfg)
+            if prof is not None:
+                t2 = _pc()
+                prof["upload_dispatch"].append(t2 - t1)
+                result = fused_track_step_packed(*args, self.cfg)
+                prof["program_dispatch"].append(_pc() - t2)
+            else:
+                result = fused_track_step_packed(*args, self.cfg)
         else:
             args = self.fused_step_inputs(gray, depth)
             result = fused_track_step(*args, self.cfg)
@@ -724,8 +746,13 @@ class Tracking:
         from planarslam_tpu.slam.device_tracker import (
             fused_track_chunk_packed, pack_chunk_frames)
 
+        prof = self.prof
+        t0 = _pc() if prof is not None else 0.0
         packed_frames = pack_chunk_frames([b[0] for b in buf],
                                           [b[1] for b in buf])
+        if prof is not None:
+            prof["pack"].append(_pc() - t0)
+            t0 = _pc()
         if packed_frames is not None:
             # native sensor dtypes: ONE H2D transaction for the whole chunk
             res = fused_track_chunk_packed(
@@ -738,6 +765,8 @@ class Tracking:
                 jnp.asarray(np.stack([b[1] for b in buf])), self._dev_R_wm,
                 self._dev_manh, self._fused_state, self._window,
                 self._pose_weights, self.cfg)
+        if prof is not None:
+            prof["upload_dispatch"].append(_pc() - t0)
         fut = self._pull_pool.submit(np.asarray, res.packed)
         self._pending_chunks.append({
             "future": fut, "states": res.states,
@@ -756,12 +785,15 @@ class Tracking:
         return True
 
     def _process_chunk(self, entry: dict) -> bool:
+        prof = self.prof
+        t0 = _pc() if prof is not None else 0.0
         packed_all = entry["future"].result()  # (C, bundle)
+        if prof is not None:
+            prof["pull_wait"].append(_pc() - t0)
         for i, (ts, fid, raw_depth) in enumerate(entry["frames"]):
             prev = {"packed": packed_all[i], "timestamp": ts,
                     "frame_id": fid, "depth": raw_depth,
-                    "state_stack": entry["states"], "chunk_i": i,
-                    "chunk_cache": entry}
+                    "state_stack": entry["states"], "chunk_i": i}
             if not self._process_bundle(prev):
                 self.stats["lost"] += 1
                 for ts2, _, _ in entry["frames"][i + 1:]:
@@ -773,9 +805,14 @@ class Tracking:
         """Apply the (lagged) fused-step results to the host map/state."""
         cfg = self.cfg
         m = self.map
+        prof = self.prof
+        t0 = _pc() if prof is not None else 0.0
         fut = prev.get("packed_future")
         bundle = self._layout.unpack(fut.result() if fut is not None
                                      else np.asarray(prev["packed"]))
+        if prof is not None:
+            t1 = _pc()
+            prof["pull_wait"].append(t1 - t0)
         self._last_depth = prev["depth"]
 
         flags = bundle["flags"]
@@ -869,16 +906,37 @@ class Tracking:
         plane_matches = {"direct": bundle["pl_direct"],
                          "par": bundle["pl_par"], "ver": bundle["pl_ver"]}
 
-        # reference keyframe: strongest voter among matched landmarks
+        # reference keyframe: strongest voter among matched landmarks.
+        # The vote scans candidate KFs only — the tracking window plus every
+        # >=1-point covisibility neighbor of it — instead of the whole map:
+        # any KF observing a matched point shares it with the window KF that
+        # contributed it and is therefore a weight>=1 covis neighbor, so the
+        # candidate set covers the reference's per-point observer walk
+        # (`src/Tracking.cc:2458` pKFmax) while the per-frame host cost stays
+        # O(|window neighborhood| x K), not O(n_kf x K) (a whole-map np.isin
+        # scan grew with the map and dominated the frame budget at scale).
         matched = cur_map_pt[cur_map_pt >= 0]
         if len(matched) > 0 and m.n_kf > 0:
-            votes = (np.isin(m.kf_pt_idx[:m.n_kf], matched)
-                     & m.kf_valid[:m.n_kf, None]).sum(axis=1)
-            best = int(np.argmax(votes))
-            if votes[best] > 0:
-                self.ref_kf = best
+            cand_mask = np.zeros(m.n_kf, bool)
+            win = self._win_kf_ids
+            win = win[win < m.n_kf] if win is not None else None
+            if win is not None and len(win) > 0:
+                cand_mask[win] = True
+                cand_mask |= (m.covis[win, :m.n_kf] > 0).any(axis=0)
+            if self.ref_kf < m.n_kf:
+                cand_mask[self.ref_kf] = True
+            cand_mask &= m.kf_valid[:m.n_kf]
+            cand = np.flatnonzero(cand_mask)
+            if len(cand) > 0:
+                votes = np.isin(m.kf_pt_idx[cand], matched).sum(axis=1)
+                best = int(np.argmax(votes))
+                if votes[best] > 0:
+                    self.ref_kf = int(cand[best])
 
         # keyframe policy from device-computed statistics
+        if prof is not None:
+            t2 = _pc()
+            prof["bundle_host"].append(t2 - t1)
         if self._need_new_keyframe_fused(bundle["kf_stats"], cur_map_pt,
                                          prev["frame_id"]):
             # KF-frame feature pull: device_get on the raw pytree costs one
@@ -895,14 +953,22 @@ class Tracking:
             else:
                 flat = pack_feats(state.feats)
             feats_np = self._feats_layout.unpack(np.asarray(flat))
+            if prof is not None:
+                t3 = _pc()
+                prof["kf_feat_pull"].append(t3 - t2)
             # plane association is re-run on the HOST against the fresh map:
             # the device bundle's matches came from a window captured up to
             # pipeline-depth frames ago, so a plane created by the previous
             # keyframe is invisible to them and every KF would re-create it
             # (duplicate churn the coplanar merge then has to undo)
             plane_matches = self._associate_planes(feats_np)
+            if prof is not None:
+                t4 = _pc()
+                prof["kf_assoc_planes"].append(t4 - t3)
             kf = self._create_keyframe(feats_np, prev["timestamp"],
                                        cur_map_pt, cur_map_ln, plane_matches)
+            if prof is not None:
+                prof["kf_host_create"].append(_pc() - t4)
             self.ref_kf = kf
             self.last_kf_frame_id = prev["frame_id"]
             self.stats["kfs"] += 1
@@ -911,6 +977,8 @@ class Tracking:
             self._host_last_map_pt = self.map.kf_pt_idx[kf].copy()
             self._host_last_map_pt_gen = self.map.pt_gen[
                 np.clip(self._host_last_map_pt, 0, None)].copy()
+            if prof is not None:
+                prof["kf_create"].append(_pc() - t2)
 
         self.state = TrackingState.OK
         self._append_record(prev["timestamp"], lost=False)
