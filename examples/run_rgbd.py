@@ -95,6 +95,17 @@ def main() -> int:
     feature_log = open(os.path.join(args.out_dir, "Feature_plp.txt"), "a")
     track_log = open(os.path.join(args.out_dir, "Track_plp.txt"), "a")
     total_log = open(os.path.join(args.out_dir, "total_plp.txt"), "a")
+    # column semantics header (the reference writes bare numbers,
+    # `src/Tracking.cc:189-198`; this build's fused pipeline cannot time the
+    # split inline every frame, so the Feature column is a SAMPLED blocking
+    # extraction measurement re-taken every N frames and replayed between
+    # samples — stated here so nobody reads it as a per-frame span)
+    feature_log.write(
+        f"# extraction-only ms, blocking re-sample every "
+        f"{slam.tracker.feature_sample_interval} frames (fused pipeline: "
+        f"extraction+tracking is one device program)\n")
+    track_log.write("# per-frame tracking dispatch+host ms (measured)\n")
+    total_log.write("# per-frame wall ms incl. mapping/loop work (measured)\n")
 
     if args.synthetic:
         from planarslam_tpu.io import synthetic
@@ -169,6 +180,9 @@ def main() -> int:
     print("-------")
     print(f"median tracking time: {np.median(t) * 1e3:.2f} ms")
     print(f"mean tracking time:   {t.mean() * 1e3:.2f} ms")
+    st = slam.tracker.stats
+    print(f"frames: {st['frames']}  keyframes: {st['kfs']}  "
+          f"lost: {st['lost']}  compactions: {slam.compactions}")
 
     slam.save_trajectory_tum(os.path.join(args.out_dir, cfg.save_path_frame))
     slam.save_keyframe_trajectory_tum(

@@ -244,8 +244,19 @@ class BatchedSLAM:
         stacked = jax.device_put(
             stacked, NamedSharding(self.mesh, P(self.axis)))
         res = self._vstep(*stacked)
+        # the packed bundle carries int32 fields BITCAST to float32 (-1
+        # sentinels are NaN payloads); an eager per-lane device slice
+        # canonicalizes those NaNs on TPU (measured: 0xFFFFFFFF ->
+        # 0x7FC00000, turning "unmatched" into a garbage index) — and costs
+        # B separate D2H pulls besides. Pull the whole (B, bundle) array
+        # ONCE (transfers are bit-exact) and hand each tracker its numpy
+        # row; only the carried device state is lane-sliced (its int fields
+        # are real int dtypes, which slicing never canonicalizes).
+        packed_np = np.asarray(res.packed)
         for i, b in enumerate(fused):
-            res_b = jax.tree.map(lambda x: x[i], res)
+            res_b = res._replace(
+                packed=packed_np[i],
+                new_state=jax.tree.map(lambda x: x[i], res.new_state))
             poses[b] = self.systems[b].submit_fused_result(
                 res_b, float(timestamps[b]))
         return poses

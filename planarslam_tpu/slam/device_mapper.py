@@ -414,7 +414,30 @@ def run_fuse_set(slam_map, lm_ids: np.ndarray, target_kfs, cfg: SystemConfig,
 
 
 def run_mapping_step(slam_map, kf: int, cfg: SystemConfig) -> dict:
-    """Gather inputs from the host map, run the fused kernel, unpack."""
+    """Gather inputs from the host map, run the fused kernel, unpack.
+    Synchronous convenience wrapper over dispatch + join."""
+    return join_mapping_step(dispatch_mapping_step(slam_map, kf, cfg))
+
+
+def join_mapping_step(pending: dict) -> dict:
+    """Block on a dispatch_mapping_step pull and unpack the bundle."""
+    fut = pending.pop("future", None)
+    dev = pending.pop("packed")
+    packed = fut.result() if fut is not None else np.asarray(dev)
+    out = pending.pop("layout").unpack(packed)
+    out.update(pending)
+    return out
+
+
+def dispatch_mapping_step(slam_map, kf: int, cfg: SystemConfig,
+                          pull_pool=None) -> dict:
+    """Gather inputs from the host map and dispatch the fused mapping
+    kernel; the D2H pull rides `pull_pool` (or stays lazy) so the caller
+    can overlap the round-trip with subsequent tracking frames and
+    join_mapping_step later — the synchronous pull blocked the frame loop
+    ~30-130 ms per keyframe behind in-flight uploads (round-5 frame
+    budget). The uploaded snapshot is self-contained: later host map
+    mutations cannot corrupt the in-flight program."""
     m = slam_map
     Kp = cfg.orb.max_keypoints
     layout = MappingLayout(cfg)
@@ -465,14 +488,19 @@ def run_mapping_step(slam_map, kf: int, cfg: SystemConfig) -> dict:
         "nb_ln_desc": m.kf_ln_desc[nb_ids_arr],
         "nb_ln_angle": m.kf_ln_angle[nb_ids_arr], "nb_ln_free": nb_ln_free,
     })
-    # ONE upload + ONE program + ONE pull per keyframe (the per-leaf
-    # argument list cost ~26 tunnel transactions each insertion)
+    # ONE upload + ONE program + ONE (deferred) pull per keyframe (the
+    # per-leaf argument list cost ~26 tunnel transactions each insertion)
     packed = mapping_step_packed(jnp.asarray(flat), cfg)
-    out = layout.unpack(np.asarray(packed))  # ONE sync
-    out["nb_ids"] = nb_ids_arr
-    out["nb_ok"] = nb_ok
-    out["tri_ok"] = tri_ok
-    out["own_free"] = own_free
-    out["own_ln_free"] = own_ln_free
-    out["lm_valid"] = lm_valid
-    return out
+    fut = None
+    if pull_pool is not None:
+        try:
+            packed.copy_to_host_async()
+        except Exception:
+            pass
+        fut = pull_pool.submit(np.asarray, packed)
+    return {
+        "future": fut, "packed": packed, "layout": layout, "kf": kf,
+        "nb_ids": nb_ids_arr, "nb_ok": nb_ok, "tri_ok": tri_ok,
+        "own_free": own_free, "own_ln_free": own_ln_free,
+        "lm_valid": lm_valid,
+    }

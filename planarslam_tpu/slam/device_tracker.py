@@ -594,21 +594,43 @@ def fused_track_step_packed(
                             manh_enabled, last, win_flat, weights, cfg)
 
 
+# the dense (H, W) plane label rides the packed KF pull downsampled: it was
+# 90% of the 1.36 MB pull (round-5 frame budget) and its only packed-path
+# consumer samples <=512 plane-cloud points per plane — block-upsampled
+# quarter resolution loses nothing there at VGA and cuts the per-keyframe
+# D2H ~6x. The factor scales with resolution (>=~120 rows survive) because
+# at the tiny test resolution a 30x40 label grid put enough off-plane
+# border pixels into the clouds to bend refit normals.
+def _label_ds(h: int) -> int:
+    return max(1, min(4, h // 120))
+
+
+def _shrink_feats(feats: FrameFeatures) -> FrameFeatures:
+    pl = feats.planes
+    ds = _label_ds(pl.pixel_label.shape[0])
+    return feats._replace(planes=pl._replace(
+        pixel_label=pl.pixel_label[::ds, ::ds]))
+
+
 class FeatsHostLayout:
     """Static layout for pulling a FrameFeatures pytree to the host as ONE
     flat float32 array (ints/bools bitcast/converted) — `jax.device_get` on
     the raw pytree issues one D2H transfer PER LEAF (~26 for FrameFeatures),
     and the tunnel charges a full per-transaction service time (~25 ms under
-    load) for each; the packed form costs one program + one pull."""
+    load) for each; the packed form costs one program + one pull. The dense
+    plane label travels downsampled (see _shrink_feats) and is block-
+    upsampled back to (H, W) on unpack so consumers see the full shape."""
 
     def __init__(self, cfg: SystemConfig):
         gray = jax.ShapeDtypeStruct((cfg.camera.height, cfg.camera.width),
                                     jnp.float32)
-        feats_sds = jax.eval_shape(lambda g, d: extract_frame(g, d, cfg),
-                                   gray, gray)
+        feats_sds = jax.eval_shape(
+            lambda g, d: _shrink_feats(extract_frame(g, d, cfg)),
+            gray, gray)
         self.leaves, self.treedef = jax.tree.flatten(feats_sds)
         self.sizes = [int(np.prod(l.shape)) for l in self.leaves]
         self.total = sum(self.sizes)
+        self._hw = (cfg.camera.height, cfg.camera.width)
 
     def unpack(self, flat: np.ndarray):
         out = []
@@ -623,7 +645,12 @@ class FeatsHostLayout:
                 arr = chunk.astype(np.dtype(sds.dtype.name))
             out.append(arr.reshape(sds.shape).copy())
             off += size
-        return jax.tree.unflatten(self.treedef, out)
+        feats = jax.tree.unflatten(self.treedef, out)
+        H, W = self._hw
+        ds = _label_ds(H)
+        lbl = np.repeat(np.repeat(feats.planes.pixel_label, ds, 0),
+                        ds, 1)[:H, :W]
+        return feats._replace(planes=feats.planes._replace(pixel_label=lbl))
 
 
 def _pack_leaf_f32(a: jnp.ndarray) -> jnp.ndarray:
@@ -639,9 +666,16 @@ def _pack_leaf_f32(a: jnp.ndarray) -> jnp.ndarray:
 @jax.jit
 def pack_feats(feats: FrameFeatures) -> jnp.ndarray:
     """Flatten a FrameFeatures pytree to one (total,) float32 device array
-    (layout = FeatsHostLayout); ONE D2H pull recovers everything."""
+    (layout = FeatsHostLayout, plane label downsampled); ONE D2H pull
+    recovers everything."""
     return jnp.concatenate([_pack_leaf_f32(a)
-                            for a in jax.tree.leaves(feats)])
+                            for a in jax.tree.leaves(_shrink_feats(feats))])
+
+
+# jitted variant: the eager pack_feats issues one device op (= one tunnel
+# dispatch) per leaf + concatenate (~27 transactions, 2-25 ms each under
+# load); under jit the whole pack is ONE program
+pack_feats_jit = jax.jit(pack_feats)
 
 
 @jax.jit

@@ -39,8 +39,26 @@ class LocalMapping:
         self._recent_lns: dict[int, int] = {}
         self._recent_pls: dict[int, int] = {}
         self.last_line_tri_count = 0
+        # deferred keyframe processing: begin_keyframe dispatches the fused
+        # mapping program and parks the D2H pull here; finish_keyframe joins
+        # and applies (System calls finish at the NEXT keyframe / drain, so
+        # the round-trip overlaps tracking instead of stalling it)
+        self._pending: Optional[dict] = None
+        self._pull_pool = None
+        self.prof = None  # set alongside Tracking.prof for stage budgets
 
     def process_keyframe(self, kf: int) -> None:
+        """Synchronous begin+finish (host paths and tests)."""
+        self.begin_keyframe(kf)
+        self.finish_keyframe()
+
+    def begin_keyframe(self, kf: int) -> None:
+        """Probation bookkeeping + landmark culling + DISPATCH of the fused
+        triangulation/fuse program for this keyframe (reference
+        `ProcessNewKeyFrame`..`SearchInNeighbors` `src/LocalMapping.cc:
+        28-99` — its thread hides this latency; here the pull is joined at
+        the next keyframe by finish_keyframe, a fixed deterministic point).
+        """
         m = self.map
         created = np.flatnonzero((m.pt_first_kf == kf) & m.pt_valid)
         for p in created:
@@ -58,15 +76,52 @@ class LocalMapping:
         # (device_mapper.mapping_step) — the per-neighbor loop of round 1
         # cost a tunnel round-trip per call
         if len(m.covisible_kfs(kf)) > 0:
-            from planarslam_tpu.slam.device_mapper import run_mapping_step
+            from concurrent.futures import ThreadPoolExecutor
 
-            res = run_mapping_step(m, kf, self.cfg)
+            from planarslam_tpu.slam.device_mapper import \
+                dispatch_mapping_step
+
+            if self._pull_pool is None:
+                self._pull_pool = ThreadPoolExecutor(max_workers=1)
+            self._pending = dispatch_mapping_step(m, kf, self.cfg,
+                                                  pull_pool=self._pull_pool)
+        else:
+            self._pending = {"kf": kf, "no_dispatch": True}
+
+    def finish_keyframe(self) -> None:
+        """Join the pending mapping pull, apply triangulation/fuse, then
+        run keyframe culling and (optional) local BA. No-op when nothing
+        is pending. Must run before any operation that MOVES keyframe rows
+        (slot compaction) — results are applied by keyframe id."""
+        pending = self._pending
+        if pending is None:
+            return
+        self._pending = None
+        m = self.map
+        kf = pending["kf"]
+        if not m.kf_valid[kf]:
+            return  # culled while the dispatch was in flight
+        from time import perf_counter as _pc
+        prof = self.prof
+        t0 = _pc() if prof is not None else 0.0
+        if not pending.get("no_dispatch"):
+            from planarslam_tpu.slam.device_mapper import join_mapping_step
+
+            res = join_mapping_step(pending)
+            if prof is not None:
+                prof["mapping_join"].append(_pc() - t0)
+                t0 = _pc()
             self._apply_triangulation(kf, res)
             self._apply_line_triangulation(kf, res)
             self._apply_fuse(kf, res)
             self._fuse_lines(kf)
             self._update_distinctive_descriptors(kf)
+            if prof is not None:
+                prof["mapping_apply"].append(_pc() - t0)
+                t0 = _pc()
         self._cull_keyframes(kf)
+        if prof is not None:
+            prof["mapping_cull_kfs"].append(_pc() - t0)
         if self.enable_local_ba and m.n_kf >= 3:
             from planarslam_tpu.solvers.local_ba import local_bundle_adjustment
 

@@ -49,6 +49,13 @@ class System:
         self.timings: List[float] = []
         self._timestamps: List[float] = []
         self.compactions = 0  # KF slot-recycling passes (observability)
+        # deferred backend: first KF id whose backend stages haven't started,
+        # and the KF whose mapping join + loop detection are still pending
+        # (finished at the NEXT keyframe / drain — deterministic overlap of
+        # the mapping round-trip with tracking, reference thread role)
+        self._next_backend_kf = 0
+        self._backend_kf: Optional[int] = None
+        self._backend_due = 0  # frame id at which the deferred work matures
 
     # ------------------------------------------------------------- main API
     def track_rgbd(self, gray: np.ndarray, depth: np.ndarray,
@@ -77,37 +84,92 @@ class System:
         mapping, loop closing, auto-reset — shared by track_rgbd and the
         batched replayer's external-step path."""
         if self.map.n_kf > n_kf_before:
-            prof = self.tracker.prof
-            t0 = time.perf_counter() if prof is not None else 0.0
-            kf = self.map.n_kf - 1
-            self.kf_db.add(self.map, kf)
-            if prof is not None:
-                t1 = time.perf_counter()
-                prof["backend_db_add"].append(t1 - t0)
-            if not self.localization_only:
-                if self.local_mapper is not None:
-                    self.local_mapper.process_keyframe(kf)
-                if prof is not None:
-                    t2 = time.perf_counter()
-                    prof["backend_local_mapping"].append(t2 - t1)
-                if self.loop_closer is not None:
-                    T_old = self.map.kf_pose[kf].copy()
-                    loop = self.loop_closer.process_keyframe(kf)
-                    if loop is not None:
-                        # re-base the (pipelined) tracker onto the corrected
-                        # map (reference CorrectLoop re-bases Tracking)
-                        self.tracker.apply_map_correction(
-                            T_old, self.map.kf_pose[kf].copy())
-                    if prof is not None:
-                        prof["backend_loop"].append(
-                            time.perf_counter() - t2)
-            if prof is not None:
-                prof["backend_kf"].append(time.perf_counter() - t0)
+            self._run_backend()
             self._maybe_compact_keyframes()
+        elif (self._backend_kf is not None
+              and self.tracker.frame_id >= self._backend_due):
+            # deferred mapping/loop work matures a FIXED number of frames
+            # after its keyframe (deterministic; ~the reference thread's
+            # latency). Waiting for the NEXT keyframe instead starves
+            # pt_nobs and the weak-tracking KF policy (chicken-and-egg:
+            # fewer KFs -> later fuse -> fewer KFs).
+            self._finish_backend_kf()
         # auto-reset when lost with a young map (<=5 KFs, reference
         # `src/Tracking.cc:403-408` "Track lost soon after initialisation")
         if self.tracker.needs_reset and not self.localization_only:
             self.reset()
+
+    def _run_backend(self, drain: bool = False) -> None:
+        """Start backend stages for every keyframe that materialized since
+        the last call (the deferred tracker can also materialize KFs inside
+        flush paths that never pass through _post_track), finishing the
+        previous keyframe's deferred work first.
+
+        Per KF: retrieval-DB add + local-mapping BEGIN (culls + mapping
+        program dispatch). The mapping JOIN+apply and loop detection for a
+        KF run when the NEXT keyframe arrives (or at drain) — the reference
+        hides the same work on its LocalMapping/LoopClosing threads
+        (`src/System.cc:72-86`); a fixed next-KF horizon keeps runs
+        bit-identical where threads would race."""
+        prof = self.tracker.prof
+        if self.local_mapper is not None:
+            self.local_mapper.prof = prof
+        while self._next_backend_kf < self.map.n_kf:
+            kf = self._next_backend_kf
+            self._next_backend_kf += 1
+            t0 = time.perf_counter() if prof is not None else 0.0
+            self.kf_db.add(self.map, kf)
+            if prof is not None:
+                prof["backend_db_add"].append(time.perf_counter() - t0)
+            if self.localization_only:
+                continue
+            self._finish_backend_kf()
+            if self.local_mapper is not None and self.map.kf_valid[kf]:
+                t1 = time.perf_counter() if prof is not None else 0.0
+                self.local_mapper.begin_keyframe(kf)
+                if prof is not None:
+                    prof["backend_begin"].append(time.perf_counter() - t1)
+            self._backend_kf = kf
+            # mapping join + loop detection mature 3 frames from now —
+            # enough for the ~130 KB mapping pull to land in background
+            self._backend_due = self.tracker.frame_id + 3
+            if self.map.n_kf < 8:
+                # young map: finish synchronously, pairing the tracker's
+                # young-map synchronous KF creation (tracking.py) — the
+                # burst-phase KF policy reads pt_nobs that the mapping
+                # fuse populates, and even a 3-frame lag starves it
+                # (weak-rule cascade: later fuse -> fewer KFs -> later fuse)
+                self._finish_backend_kf()
+        if drain:
+            self._finish_backend_kf()
+
+    def _finish_backend_kf(self) -> None:
+        """Apply the previous keyframe's deferred backend: local-mapping
+        join+apply (triangulation/fuse/KF-culling), then loop detection —
+        the reference's LocalMapping -> LoopClosing queue order."""
+        kf = self._backend_kf
+        if kf is None:
+            return
+        self._backend_kf = None
+        prof = self.tracker.prof
+        t0 = time.perf_counter() if prof is not None else 0.0
+        if self.local_mapper is not None:
+            self.local_mapper.finish_keyframe()
+        if prof is not None:
+            t1 = time.perf_counter()
+            prof["backend_finish_mapping"].append(t1 - t0)
+        if self.loop_closer is not None and self.map.kf_valid[kf]:
+            T_old = self.map.kf_pose[kf].copy()
+            loop = self.loop_closer.process_keyframe(kf)
+            if loop is not None:
+                # re-base the (pipelined) tracker onto the corrected
+                # map (reference CorrectLoop re-bases Tracking)
+                self.tracker.apply_map_correction(
+                    T_old, self.map.kf_pose[kf].copy())
+            if prof is not None:
+                prof["backend_loop"].append(time.perf_counter() - t1)
+        if prof is not None:
+            prof["backend_kf"].append(time.perf_counter() - t0)
 
     def _maybe_compact_keyframes(self) -> None:
         """Reclaim culled KF slots when nearing capacity (the reference's
@@ -123,6 +185,9 @@ class System:
         m = self.map
         if m.n_kf < m.n_kf_slots - 4:
             return
+        # pending mapping/loop work holds KF IDS and is applied by id —
+        # the remap would silently misdirect it; drain first
+        self._run_backend(drain=True)
         tr = self.tracker
         # resolve every externally held id BEFORE the layout moves
         cache: dict = {}
@@ -159,6 +224,8 @@ class System:
             return
 
         self.compactions += 1
+        # backend was drained above; every surviving KF has been processed
+        self._next_backend_kf = self.map.n_kf
         for rec, (anchor, T_rel) in zip(tr.records, rec_res):
             new_id = int(remap[anchor]) if anchor >= 0 else 0
             if new_id != rec.ref_kf:
@@ -222,11 +289,14 @@ class System:
                                            kf_db=self.kf_db)
         self.timings.clear()
         self._timestamps.clear()
+        self._next_backend_kf = 0
+        self._backend_kf = None
 
     def shutdown(self):
         """Drain the tracking pipeline (the reference joins its threads here,
         `src/System.cc:170`)."""
         self.tracker.flush_pending()
+        self._run_backend(drain=True)
 
     def get_tracking_state(self) -> TrackingState:
         return self.tracker.state
@@ -246,6 +316,7 @@ class System:
         viewer) that must not serialize the in-flight frames."""
         if flush:
             self.tracker.flush_pending()
+            self._run_backend(drain=True)
         out = []
         for rec in self.tracker.records:
             # culled reference KFs chain through their stored cull-time
@@ -278,6 +349,8 @@ class System:
         `include/System.h:104-106`)."""
         from planarslam_tpu.slam.serialization import save_map
 
+        self.tracker.flush_pending()
+        self._run_backend(drain=True)
         save_map(path, self.map)
 
     def load_map(self, path: str) -> None:
@@ -300,6 +373,9 @@ class System:
 
             self.loop_closer = LoopClosing(self.cfg, self.map,
                                            kf_db=self.kf_db)
+        # the checkpoint's KFs were backend-processed before the save
+        self._next_backend_kf = self.map.n_kf
+        self._backend_kf = None
 
     def save_mesh(self, path: str) -> None:
         """Planar mesh export (reference `System::SaveMesh`,

@@ -125,14 +125,26 @@ class Tracking:
         self._win_ln_gen = None
         self._window_dirty = True
         self._host_last_map_pt = np.full(cfg.orb.max_keypoints, -1, np.int32)
+        # deferred keyframe creation: the decision frame's feature pull
+        # rides the background pull pool and the KF is materialized a fixed
+        # number of frames later (see _begin_keyframe/_apply_pending_kf)
+        self._pending_kf: Optional[dict] = None
         # set when LOST with a young map (<=5 KFs): the reference resets the
         # whole system instead of spinning on relocalization forever
         # (`src/Tracking.cc:403-408`); System polls this after track()
         self.needs_reset = False
         self._feature_time_est: Optional[float] = None
+        # frames between blocking extraction-time re-samples (plp protocol)
+        self.feature_sample_interval = 120
         # single worker: pulls are tiny (36 KB) and strictly ordered
         from concurrent.futures import ThreadPoolExecutor
         self._pull_pool = ThreadPoolExecutor(max_workers=1)
+        # keyframe feature pulls get their OWN worker: on the shared pool
+        # they queued behind up to pipeline_depth per-frame bundle pulls,
+        # adding ~100 ms to every KF join (round-5 frame budget); the async
+        # D2H copy is kicked at dispatch, so this worker's np.asarray is a
+        # cheap join once the transfer lands
+        self._kf_pull_pool = ThreadPoolExecutor(max_workers=1)
         # chunked throughput mode state (cfg.tracking.chunk_size > 1)
         self._chunk_buf: list = []
         self._pending_chunks: list = []
@@ -225,8 +237,17 @@ class Tracking:
         # happens device-side (device_tracker.to_gray_depth) or lazily here
         self._last_depth = np.asarray(depth)
         t1 = _time.perf_counter()
-        # fused mode reports the calibrated extraction-only estimate
-        # (see _calibrate_feature_time; round 1 reported a misleading 0.0)
+        # fused mode reports a SAMPLED extraction-only measurement: every
+        # feature_sample_interval frames the extraction program is re-timed
+        # on the live frame (blocking, 1 rep — compile is cached) and the
+        # measurement is replayed until the next sample. The reference times
+        # extraction inline every frame (`src/Tracking.cc:175-198`); here
+        # extraction+tracking is ONE fused program, so a true per-frame
+        # split would require running extraction twice per frame.
+        if (self.state == TrackingState.OK
+                and self._feature_time_est is not None
+                and self.frame_id % self.feature_sample_interval == 0):
+            self._sample_feature_time(gray, depth)
         self.last_feature_time = self._feature_time_est or 0.0
 
         if self.state in (TrackingState.NO_IMAGES_YET,
@@ -345,6 +366,10 @@ class Tracking:
                 for dropped in self._pending:
                     self._append_record(dropped["timestamp"], lost=True)
                 self._pending.clear()
+        # a KF decided by the drained bundles (or carried from before the
+        # flush) materializes now — the map must be complete at sequence
+        # end / mode switches
+        self._apply_pending_kf(block=True)
 
     def apply_map_correction(self, T_kf_old: np.ndarray,
                              T_kf_new: np.ndarray) -> None:
@@ -353,6 +378,10 @@ class Tracking:
         CorrectLoop re-bases Tracking, `src/LoopClosing.cc:402-443`)."""
         corr = (np.linalg.inv(T_kf_old) @ T_kf_new).astype(np.float32)
         self.T_cw = (self.T_cw @ corr).astype(np.float32)
+        if self._pending_kf is not None:
+            # the deferred KF's snapshot pose was computed pre-correction
+            self._pending_kf["T_cw"] = (
+                self._pending_kf["T_cw"] @ corr).astype(np.float32)
         if self._pending:
             # in-flight frames were computed pre-correction
             self._bundle_correction = (corr, len(self._pending))
@@ -580,6 +609,21 @@ class Tracking:
         # drop the first rep (compile/cache warmup)
         self._feature_time_est = float(np.median(times[1:]))
 
+    def _sample_feature_time(self, gray, depth) -> None:
+        """One blocking extraction timing on the live frame — the periodic
+        re-sample behind `last_feature_time` (a once-per-run constant
+        silently imitated a per-frame measurement, round-4 VERDICT #6)."""
+        import time as _t
+
+        from planarslam_tpu.slam.device_tracker import to_gray_depth
+        from planarslam_tpu.slam.frame import extract_frame
+
+        g, d = to_gray_depth(jnp.asarray(gray), jnp.asarray(depth), self.cfg)
+        t0 = _t.perf_counter()
+        feats = extract_frame(g, d, self.cfg)
+        jax.block_until_ready(feats.points.desc)
+        self._feature_time_est = float(_t.perf_counter() - t0)
+
     def _refresh_window(self) -> None:
         from planarslam_tpu.slam.device_tracker import build_window
 
@@ -655,6 +699,7 @@ class Tracking:
         vs ~0.3 ms of actual device compute) then overlaps the next
         frames' host work instead of blocking _process_bundle (the wait
         releases the GIL)."""
+        self._apply_pending_kf()  # deferred KF due? (fixed horizon)
         try:
             result.packed.copy_to_host_async()
         except Exception:
@@ -785,6 +830,9 @@ class Tracking:
         return True
 
     def _process_chunk(self, entry: dict) -> bool:
+        # a KF decided during the previous chunk applies at this chunk
+        # boundary — the background pull had a whole chunk period to land
+        self._apply_pending_kf(block=True)
         prof = self.prof
         t0 = _pc() if prof is not None else 0.0
         packed_all = entry["future"].result()  # (C, bundle)
@@ -937,51 +985,117 @@ class Tracking:
         if prof is not None:
             t2 = _pc()
             prof["bundle_host"].append(t2 - t1)
-        if self._need_new_keyframe_fused(bundle["kf_stats"], cur_map_pt,
-                                         prev["frame_id"]):
-            # KF-frame feature pull: device_get on the raw pytree costs one
-            # D2H transaction PER LEAF (~26 x the tunnel's ~25 ms service
-            # time under load = ~700 ms per KF chunk — the round-3 chunked
-            # regression); pack to ONE flat array on device and pull once
-            from planarslam_tpu.slam.device_tracker import (
-                pack_feats, pack_feats_slice)
-
-            state = prev.get("state")
-            if state is None:
-                flat = pack_feats_slice(prev["state_stack"].feats,
-                                        jnp.int32(prev["chunk_i"]))
-            else:
-                flat = pack_feats(state.feats)
-            feats_np = self._feats_layout.unpack(np.asarray(flat))
+        if (self._pending_kf is None
+                and self._need_new_keyframe_fused(bundle["kf_stats"],
+                                                  cur_map_pt,
+                                                  prev["frame_id"])):
+            self._begin_keyframe(prev, cur_map_pt, cur_map_ln)
+            if self.map.n_kf < 8:
+                # young map: materialize immediately — the reference
+                # inserts aggressively right after initialization and the
+                # young landmarks' 3-observer probation depends on that
+                # burst cadence; the deferral horizon would thin exactly
+                # those insertions, and they are cheap (tiny map). The
+                # carry reseed gives the next frame instant adoption of
+                # the new landmarks (valid only here, where the KF IS the
+                # just-processed frame).
+                self._apply_pending_kf(block=True, reseed_carry=True)
             if prof is not None:
-                t3 = _pc()
-                prof["kf_feat_pull"].append(t3 - t2)
-            # plane association is re-run on the HOST against the fresh map:
-            # the device bundle's matches came from a window captured up to
-            # pipeline-depth frames ago, so a plane created by the previous
-            # keyframe is invisible to them and every KF would re-create it
-            # (duplicate churn the coplanar merge then has to undo)
-            plane_matches = self._associate_planes(feats_np)
-            if prof is not None:
-                t4 = _pc()
-                prof["kf_assoc_planes"].append(t4 - t3)
-            kf = self._create_keyframe(feats_np, prev["timestamp"],
-                                       cur_map_pt, cur_map_ln, plane_matches)
-            if prof is not None:
-                prof["kf_host_create"].append(_pc() - t4)
-            self.ref_kf = kf
-            self.last_kf_frame_id = prev["frame_id"]
-            self.stats["kfs"] += 1
-            self._window_dirty = True
-            # carry the newly created landmark ids into the next frame
-            self._host_last_map_pt = self.map.kf_pt_idx[kf].copy()
-            self._host_last_map_pt_gen = self.map.pt_gen[
-                np.clip(self._host_last_map_pt, 0, None)].copy()
-            if prof is not None:
-                prof["kf_create"].append(_pc() - t2)
+                prof["kf_begin"].append(_pc() - t2)
 
         self.state = TrackingState.OK
         self._append_record(prev["timestamp"], lost=False)
+        return True
+
+    def _begin_keyframe(self, prev: dict, cur_map_pt: np.ndarray,
+                        cur_map_ln: np.ndarray) -> None:
+        """Start DEFERRED keyframe creation: dispatch the packed feature
+        pull (one program + one background D2H) and snapshot everything the
+        materialization needs; _apply_pending_kf finishes the job a fixed
+        number of frames later, once the pull has landed.
+
+        Synchronous creation blocked the frame loop ~200-380 ms per KF
+        (measured round-5 frame budget: the blocking feature pull queues
+        behind in-flight uploads/programs) — the single largest term in
+        wall-clock fps. The reference hides exactly this work on its
+        LocalMapping thread (`src/System.cc:72-86`, `src/LocalMapping.cc:
+        28-99`); here the deferral is a FIXED frame horizon so runs stay
+        bit-identical (SURVEY §5.2 determinism) instead of racing a thread.
+        """
+        from planarslam_tpu.slam.device_tracker import (
+            pack_feats_jit, pack_feats_slice)
+
+        state = prev.get("state")
+        if state is None:
+            flat = pack_feats_slice(prev["state_stack"].feats,
+                                    jnp.int32(prev["chunk_i"]))
+        else:
+            flat = pack_feats_jit(state.feats)
+        try:
+            flat.copy_to_host_async()
+        except Exception:
+            pass
+        self._pending_kf = {
+            "future": self._kf_pull_pool.submit(np.asarray, flat),
+            "timestamp": prev["timestamp"], "frame_id": prev["frame_id"],
+            "decided_at": self.frame_id,
+            "T_cw": self.T_cw.copy(),
+            "depth": prev["depth"],
+            "cur_map_pt": cur_map_pt.copy(),
+            "cur_map_ln": cur_map_ln.copy(),
+        }
+        # the policy's frame-gap counter restarts at the DECISION (matching
+        # the synchronous behavior); a second decision cannot fire while
+        # this one is pending (gated in _process_bundle)
+        self.last_kf_frame_id = prev["frame_id"]
+
+    def _apply_pending_kf(self, block: bool = False,
+                          reseed_carry: bool = False) -> bool:
+        """Materialize the deferred keyframe once its feature pull landed.
+
+        Non-blocking calls apply only after a fixed `pipeline_depth`-frame
+        horizon (deterministic — never 'when the future happens to be
+        ready'); the pull has had that many frame periods to complete in
+        the background, so the .result() below is a no-wait join in the
+        common case. block=True (chunk boundaries, flush, mode switches)
+        applies immediately."""
+        p = self._pending_kf
+        if p is None:
+            return False
+        if not block and self.frame_id < p["decided_at"] + max(
+                1, self.pipeline_depth):
+            return False
+        prof = self.prof
+        t0 = _pc() if prof is not None else 0.0
+        feats_np = self._feats_layout.unpack(p["future"].result())
+        if prof is not None:
+            t1 = _pc()
+            prof["kf_feat_join"].append(t1 - t0)
+        # plane association runs against the CURRENT map (not the window
+        # the bundle was computed from): a plane created by the previous
+        # keyframe must be visible here or every KF re-creates it
+        plane_matches = self._associate_planes(feats_np, T_cw=p["T_cw"])
+        kf = self._create_keyframe(
+            feats_np, p["timestamp"], p["cur_map_pt"], p["cur_map_ln"],
+            plane_matches, T_cw=p["T_cw"], frame_id=p["frame_id"],
+            depth_raw=p["depth"])
+        self.ref_kf = kf
+        self.stats["kfs"] += 1
+        self._window_dirty = True
+        if reseed_carry:
+            # synchronous young-map path only: the KF is the frame that was
+            # just processed, so its feature slots ARE the carry's slots
+            self._host_last_map_pt = self.map.kf_pt_idx[kf].copy()
+            self._host_last_map_pt_gen = self.map.pt_gen[
+                np.clip(self._host_last_map_pt, 0, None)].copy()
+        # else: _host_last_map_pt is NOT re-seeded from the new KF row —
+        # the carry must stay aligned with the latest processed frame's
+        # feature slots, and the tracker has moved past the KF frame; the
+        # new landmarks reach tracking through the refreshed window instead
+        # (one pipeline-lag of delay)
+        self._pending_kf = None
+        if prof is not None:
+            prof["kf_apply"].append(_pc() - t0)
         return True
 
     def _need_new_keyframe_fused(self, kf_stats: np.ndarray,
@@ -1396,10 +1510,13 @@ class Tracking:
         return True, new_map_pt, cur_map_ln, plane_matches
 
     # ------------------------------------------------------ plane association
-    def _associate_planes(self, feats: FrameFeatures) -> dict:
+    def _associate_planes(self, feats: FrameFeatures,
+                          T_cw: Optional[np.ndarray] = None) -> dict:
         """Frame-plane -> map-plane association (`src/PlaneMatcher.cpp:10-81`).
 
         Returns {"direct": (P,) map ids or -1, "par": ..., "ver": ...}.
+        T_cw defaults to the tracker's current pose; deferred keyframe
+        application passes the decision frame's snapshot pose instead.
         """
         from planarslam_tpu import native
 
@@ -1414,7 +1531,9 @@ class Tracking:
         idxs = np.flatnonzero(pl_valid)
         if len(idxs) == 0 or not m.pl_valid.any():
             return {"direct": direct, "par": par, "ver": ver}
-        T_wc_T = np.linalg.inv(self.T_cw).astype(np.float32)
+        if T_cw is None:
+            T_cw = self.T_cw
+        T_wc_T = np.linalg.inv(T_cw).astype(np.float32)
         pi_w = plane_geo.transform_np(T_wc_T, coeffs_c[idxs])
         d, p, v = native.associate_planes(
             pi_w.astype(np.float64), m.pl_coeffs.astype(np.float64),
@@ -1489,14 +1608,28 @@ class Tracking:
     # ------------------------------------------------------ keyframe creation
     def _create_keyframe(self, feats: FrameFeatures, timestamp: float,
                          cur_map_pt: np.ndarray, cur_map_ln: np.ndarray,
-                         plane_matches: Optional[dict]) -> int:
-        """Reference `Tracking::CreateNewKeyFrame` (`src/Tracking.cc:2139`)."""
+                         plane_matches: Optional[dict],
+                         T_cw: Optional[np.ndarray] = None,
+                         frame_id: Optional[int] = None,
+                         depth_raw: Optional[np.ndarray] = None) -> int:
+        """Reference `Tracking::CreateNewKeyFrame` (`src/Tracking.cc:2139`).
+
+        T_cw/frame_id/depth_raw default to the tracker's current state
+        (synchronous host-path creation); deferred application passes the
+        decision frame's snapshots — by apply time the tracker has moved
+        past that frame."""
         cfg = self.cfg
         m = self.map
+        if T_cw is None:
+            T_cw = self.T_cw
+        if frame_id is None:
+            frame_id = self.frame_id
+        if depth_raw is None:
+            depth_raw = self._last_depth
         kf = m.alloc_keyframe()
         m.kf_valid[kf] = True
-        m.kf_pose[kf] = self.T_cw
-        m.kf_frame_id[kf] = self.frame_id
+        m.kf_pose[kf] = T_cw
+        m.kf_frame_id[kf] = frame_id
         m.kf_timestamp[kf] = timestamp
         m.kf_uv[kf] = np.asarray(feats.points.uv)
         m.kf_ur[kf] = np.asarray(feats.points.u_right)
@@ -1513,7 +1646,7 @@ class Tracking:
         m.kf_ln_angle[kf] = np.asarray(feats.lines.angle)
         m.kf_pl_coeffs[kf] = np.asarray(feats.planes.coeffs)
 
-        T_wc = np.linalg.inv(self.T_cw).astype(np.float32)
+        T_wc = np.linalg.inv(T_cw).astype(np.float32)
 
         # existing associations
         m.kf_pt_idx[kf] = cur_map_pt
@@ -1549,7 +1682,10 @@ class Tracking:
             m.pt_first_kf[ids] = kf
             m.kf_pt_idx[kf, new_feats] = ids
 
+        t_enrich = _pc() if self.prof is not None else 0.0
         self._enrich_kf_associations(kf)
+        if self.prof is not None:
+            self.prof["kf_enrich"].append(_pc() - t_enrich)
 
         # lines: carry matches, create new map lines for unmatched 3D lines
         m.kf_ln_idx[kf] = cur_map_ln
@@ -1601,7 +1737,7 @@ class Tracking:
             if len(ys) > 0:
                 sub = slice(0, None, max(1, len(ys) // 512))
                 cam = cfg.camera
-                zz = self._depth_metres_at(self._last_depth, ys[sub], xs[sub])
+                zz = self._depth_metres_at(depth_raw, ys[sub], xs[sub])
                 okz = zz > 0
                 px = (xs[sub][okz] - cam.cx) / cam.fx * zz[okz]
                 py = (ys[sub][okz] - cam.cy) / cam.fy * zz[okz]
