@@ -163,6 +163,7 @@ def _run_batched(cfg, B: int, n_frames: int = 48) -> dict:
                  [frames[b][i][1] for b in range(B)],
                  np.full(B, float(i) / 30.0))
         t_frames.append(time.perf_counter() - t0)
+    bs.flush()
     ates = []
     for b, s in enumerate(bs.systems):
         est = s.frame_poses_wc()

@@ -172,6 +172,8 @@ class BatchedSLAM:
 
     def __init__(self, cfg: SystemConfig, n_sequences: int,
                  mesh: Optional[Mesh] = None, axis: str = "seq"):
+        from concurrent.futures import ThreadPoolExecutor
+
         from planarslam_tpu.slam.system import System
 
         self.cfg = cfg
@@ -181,30 +183,101 @@ class BatchedSLAM:
             min(n_sequences, len(jax.devices())), axis=axis)
         self.systems = [System(config=cfg) for _ in range(n_sequences)]
         self._vstep = None
+        self._vstep_packed = None  # whether the traced step takes uint8
+        # device-resident BATCHED carry: the per-lane states and windows
+        # stay stacked on device between steps. Round-5 measurement: the
+        # stack-per-step design (26 eager jnp.stack + B per-lane slices per
+        # frame, each a tunnel transaction) ran at 649 ms/step on the real
+        # chip — the whole point of batching (frames per transaction) was
+        # lost to per-lane eager ops.
+        self._bstate = None          # stacked LastState
+        self._bwin = None            # (B, WIN_TOTAL) stacked flat windows
+        self._bweights = None        # stacked PoseOptWeights
+        self._lane_live = [False] * n_sequences   # _bstate[b] is current
+        self._win_fresh = [False] * n_sequences   # _bwin[b] == tracker's
+        # dispatch epoch per lane: bumped whenever the lane leaves the
+        # fused batch (host path). A drain must NOT apply results
+        # dispatched before the bump — the lane may have collapsed AND
+        # recovered (reloc inside the same track_rgbd call) in between,
+        # and the stale bundle would clobber its rebuilt state.
+        self._lane_epoch = [0] * n_sequences
+        self._inflight: list = []    # depth-1 dispatch/drain pipeline
+        self.pipeline_depth = 1
+        self._pull_pool = ThreadPoolExecutor(max_workers=1)
+        self._insert = None          # jitted lane insert (state/window)
+        self._stack = None           # jitted initial stack
         # observability: how many frames rode the fused batch vs host path
         self.stats = {"fused_lane_frames": 0, "host_lane_frames": 0,
                       "padded_lane_frames": 0}
+        # per-stage wall profiling (enable by assigning a defaultdict(list))
+        self.prof = None
 
-    def _build_vstep(self):
-        from planarslam_tpu.slam.device_tracker import fused_track_step
+    # ------------------------------------------------------- jitted helpers
+    def _sh(self):
+        return NamedSharding(self.mesh, P(self.axis))
+
+    def _build_helpers(self):
+        sh = self._sh()
+        # ONE program per lane insert / initial stack — an eager per-leaf
+        # loop would cost ~26 dispatches each
+        self._insert = jax.jit(
+            lambda S, s, b: jax.tree.map(lambda X, x: X.at[b].set(x), S, s),
+            out_shardings=sh, static_argnames=())
+        self._stack = jax.jit(
+            lambda *ss: jax.tree.map(lambda *xs: jnp.stack(xs), *ss),
+            out_shardings=sh)
+
+    def _build_vstep(self, packed: bool):
+        from planarslam_tpu.slam.device_tracker import (
+            fused_track_step, fused_track_step_packed)
 
         cfg = self.cfg
 
-        def one(gray, depth, T_ovr, use_ovr, R_wm, manh_on, state, win, w):
-            return fused_track_step(gray, depth, T_ovr, use_ovr, R_wm,
-                                    manh_on, state, win, w, cfg)
+        if packed:
+            def one(frame_u8, small, state, win, w):
+                T_ovr = small[:16].reshape(4, 4)
+                use_ovr = small[16] > 0.5
+                R_wm = small[17:26].reshape(3, 3)
+                manh_on = small[26] > 0.5
+                return fused_track_step_packed(
+                    frame_u8, T_ovr, use_ovr, R_wm, manh_on, state, win, w,
+                    cfg)
+        else:
+            def one(gray, depth, small, state, win, w):
+                T_ovr = small[:16].reshape(4, 4)
+                use_ovr = small[16] > 0.5
+                R_wm = small[17:26].reshape(3, 3)
+                manh_on = small[26] > 0.5
+                return fused_track_step(
+                    gray, depth, T_ovr, use_ovr, R_wm, manh_on, state, win,
+                    w, cfg)
 
-        sh_batch = NamedSharding(self.mesh, P(self.axis))
+        sh_batch = self._sh()
         # every input/output leaf carries a leading batch dim -> shard it
         self._vstep = jax.jit(jax.vmap(one), in_shardings=sh_batch,
                               out_shardings=sh_batch)
+        self._vstep_packed = packed
 
+    # ----------------------------------------------------------- stepping
     def track(self, grays, depths, timestamps) -> np.ndarray:
         """One frame for every sequence. grays/depths: (B, H, W) arrays (or
-        per-sequence lists); timestamps: (B,). Returns (B, 4, 4) poses."""
+        per-sequence lists); timestamps: (B,). Returns (B, 4, 4) poses
+        (fused lanes lag by the dispatch pipeline; records carry the exact
+        per-frame trajectory after flush).
+
+        Per-step device traffic (the design target): ONE stacked frame
+        upload + ONE small-params upload + ONE program dispatch + ONE
+        packed pull (pipelined) — plus a lane-insert program only when a
+        lane (re)joins or refreshed its window."""
+        import time as _t
+
+        from planarslam_tpu.slam.device_tracker import pack_frame
         from planarslam_tpu.slam.tracking import TrackingState
 
-        poses = np.zeros((self.B, 4, 4), np.float32)
+        prof = self.prof
+        tp0 = _t.perf_counter() if prof is not None else 0.0
+        B = self.B
+        poses = np.zeros((B, 4, 4), np.float32)
         fused, host = [], []
         for b, s in enumerate(self.systems):
             tr = s.tracker
@@ -217,49 +290,178 @@ class BatchedSLAM:
         for b in host:
             poses[b] = self.systems[b].track_rgbd(
                 grays[b], depths[b], float(timestamps[b]))
+            self._lane_live[b] = False
+            self._win_fresh[b] = False
+            self._lane_epoch[b] += 1
         if not fused:
             return poses
-        # batched fused step: stack the B trackers' inputs and run the
-        # single sharded program. The batch is ALWAYS padded to B lanes —
-        # a sequence dropping into reloc/init must not change the traced
-        # batch size, or the full fused step re-jits mid-replay (multi-
-        # second compiles, round-3 VERDICT weak #4). Inactive lanes simply
-        # replay a ready lane's inputs (the step is pure; their outputs
-        # are dropped).
-        args = []
+        self.stats["fused_lane_frames"] += len(fused)
+        self.stats["host_lane_frames"] += len(host)
+        self.stats["padded_lane_frames"] += B - len(fused)
+        if prof is not None:
+            tp1 = _t.perf_counter()
+            prof["host_lanes"].append(tp1 - tp0)
+            tp0 = tp1
+
+        if self._insert is None:
+            self._build_helpers()
+
+        # ---- frames: ONE stacked host buffer, ONE upload. The batch is
+        # ALWAYS padded to B lanes — a sequence dropping into reloc/init
+        # must not change the traced batch size, or the full fused step
+        # re-jits mid-replay (multi-second compiles, round-3 VERDICT
+        # weak #4). Inactive lanes replay a ready lane's frame (the step
+        # is pure; their outputs are dropped).
+        packed0 = pack_frame(np.asarray(grays[fused[0]]),
+                             np.asarray(depths[fused[0]]))
+        use_packed = packed0 is not None
+        if self._vstep is None or self._vstep_packed != use_packed:
+            self._build_vstep(use_packed)
+        fill = fused[0]
+        if use_packed:
+            H, W = np.asarray(grays[fused[0]]).shape
+            frames = np.empty((B, 3, H, W), np.uint8)
+            for b in range(B):
+                src = b if b in fused else fill
+                frames[b] = pack_frame(np.asarray(grays[src]),
+                                       np.asarray(depths[src]))
+            frame_args = (jax.device_put(frames, self._sh()),)
+        else:
+            g = np.stack([np.asarray(grays[b if b in fused else fill],
+                                     np.float32) for b in range(B)])
+            d = np.stack([np.asarray(depths[b if b in fused else fill],
+                                     np.float32) for b in range(B)])
+            frame_args = (jax.device_put(g, self._sh()),
+                          jax.device_put(d, self._sh()))
+
+        if prof is not None:
+            tp1 = _t.perf_counter()
+            prof["frame_upload"].append(tp1 - tp0)
+            tp0 = tp1
+        # ---- small per-lane params: one (B, 27) upload
+        small = np.zeros((B, 27), np.float32)
+        for b in fused:
+            tr = self.systems[b].tracker
+            if tr._pose_override is not None:
+                small[b, :16] = tr._pose_override.astype(
+                    np.float32).reshape(-1)
+                small[b, 16] = 1.0
+                tr._pose_override = None
+            else:
+                small[b, :16] = np.eye(4, dtype=np.float32).reshape(-1)
+            R = (tr.R_wm if tr.R_wm is not None
+                 else np.eye(3, dtype=np.float32))
+            small[b, 17:26] = np.asarray(R, np.float32).reshape(-1)
+            small[b, 26] = 1.0 if tr.R_wm is not None else 0.0
+        small_dev = jax.device_put(small, self._sh())
+
+        if prof is not None:
+            tp1 = _t.perf_counter()
+            prof["small_upload"].append(tp1 - tp0)
+            tp0 = tp1
+        # ---- carried state / windows: stacked device residents
+        need_state_init = self._bstate is None
         for b in fused:
             tr = self.systems[b].tracker
             tr._last_depth = np.asarray(depths[b])
-            args.append(tr.fused_step_inputs(grays[b], depths[b]))
-        self.stats["fused_lane_frames"] += len(fused)
-        self.stats["host_lane_frames"] += len(host)
-        self.stats["padded_lane_frames"] += self.B - len(fused)
-        while len(args) < self.B:
-            args.append(args[len(args) % len(fused)])
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *args)
-        if self._vstep is None:
-            self._build_vstep()
-        # commit inputs to the batch sharding (the stack above lands on the
-        # default device; jit's in_shardings requires a matching placement)
-        stacked = jax.device_put(
-            stacked, NamedSharding(self.mesh, P(self.axis)))
-        res = self._vstep(*stacked)
-        # the packed bundle carries int32 fields BITCAST to float32 (-1
-        # sentinels are NaN payloads); an eager per-lane device slice
-        # canonicalizes those NaNs on TPU (measured: 0xFFFFFFFF ->
-        # 0x7FC00000, turning "unmatched" into a garbage index) — and costs
-        # B separate D2H pulls besides. Pull the whole (B, bundle) array
-        # ONCE (transfers are bit-exact) and hand each tracker its numpy
-        # row; only the carried device state is lane-sliced (its int fields
-        # are real int dtypes, which slicing never canonicalizes).
-        packed_np = np.asarray(res.packed)
-        for i, b in enumerate(fused):
-            res_b = res._replace(
-                packed=packed_np[i],
-                new_state=jax.tree.map(lambda x: x[i], res.new_state))
-            poses[b] = self.systems[b].submit_fused_result(
-                res_b, float(timestamps[b]))
+            if tr._window_dirty or tr._window is None:
+                tr._refresh_window()
+                self._win_fresh[b] = False
+        if need_state_init:
+            # first fused step: stack lane states (dead lanes replay a
+            # live lane's state until they join)
+            states = [self.systems[b if b in fused else fill]
+                      .tracker._fused_state for b in range(B)]
+            # a live lane's _fused_state may already BE the stacked
+            # sentinel only after the first dispatch; here they are all
+            # single-lane (host-path rebuilt)
+            self._bstate = self._stack(*states)
+            wins = [self.systems[b if b in fused else fill]
+                    .tracker._window for b in range(B)]
+            self._bwin = self._stack(*wins)
+            self._bweights = self._stack(
+                *[self.systems[b if b in fused else fill]
+                  .tracker._pose_weights for b in range(B)])
+            for b in fused:
+                self._lane_live[b] = True
+                self._win_fresh[b] = True
+        else:
+            for b in fused:
+                tr = self.systems[b].tracker
+                if not self._lane_live[b]:
+                    # lane rejoined: its host-path state is single-lane
+                    self._bstate = self._insert(self._bstate,
+                                                tr._fused_state,
+                                                jnp.int32(b))
+                    self._lane_live[b] = True
+                    self._win_fresh[b] = False
+                if not self._win_fresh[b]:
+                    self._bwin = self._insert(self._bwin, tr._window,
+                                              jnp.int32(b))
+                    self._win_fresh[b] = True
+
+        if prof is not None:
+            tp1 = _t.perf_counter()
+            prof["state_win_insert"].append(tp1 - tp0)
+            tp0 = tp1
+        res = self._vstep(*frame_args, small_dev, self._bstate, self._bwin,
+                          self._bweights)
+        if prof is not None:
+            tp1 = _t.perf_counter()
+            prof["dispatch"].append(tp1 - tp0)
+            tp0 = tp1
+        # the carry stays stacked on device — zero per-lane slicing
+        self._bstate = res.new_state
+        try:
+            res.packed.copy_to_host_async()
+        except Exception:
+            pass
+        self._inflight.append({
+            "fut": self._pull_pool.submit(np.asarray, res.packed),
+            "state_stack": res.new_state,
+            "lanes": list(fused),
+            "epochs": [self._lane_epoch[b] for b in fused],
+            "timestamps": [float(timestamps[b]) for b in fused],
+            "depths": [np.asarray(depths[b]) for b in fused],
+        })
+        while len(self._inflight) > self.pipeline_depth:
+            self._drain_one()
+        if prof is not None:
+            prof["drain"].append(_t.perf_counter() - tp0)
+        for b in fused:
+            poses[b] = self.systems[b].tracker.T_cw
         return poses
+
+    def _drain_one(self) -> None:
+        """Apply the oldest in-flight batched step to the per-lane hosts.
+        The (B, bundle) packed result is pulled ONCE as numpy: the bundle
+        carries int32 fields BITCAST to float32 (-1 sentinels are NaN
+        payloads) and an eager per-lane float32 device slice canonicalizes
+        them on TPU (measured: 0xFFFFFFFF -> 0x7FC00000, turning
+        "unmatched" into a garbage index); transfers are bit-exact."""
+        from planarslam_tpu.slam.device_tracker import StepResult
+        from planarslam_tpu.slam.tracking import TrackingState
+
+        e = self._inflight.pop(0)
+        packed_np = e["fut"].result()
+        for i, b in enumerate(e["lanes"]):
+            s = self.systems[b]
+            tr = s.tracker
+            if (tr.state != TrackingState.OK or tr._fused_state is None
+                    or self._lane_epoch[b] != e["epochs"][i]):
+                # lane collapsed since dispatch (possibly recovering via
+                # its host path in the meantime) — the stale bundle must
+                # not touch its rebuilt state
+                continue
+            tr._last_depth = e["depths"][i]
+            res_b = StepResult(packed=packed_np[b], new_state=None)
+            s.submit_fused_result(res_b, e["timestamps"][i],
+                                  state_stack=e["state_stack"], lane=b)
+
+    def flush(self) -> None:
+        """Drain the batched dispatch pipeline (end of replay)."""
+        while self._inflight:
+            self._drain_one()
 
     def run(self, sequences, timestamps: Optional[np.ndarray] = None
             ) -> np.ndarray:
@@ -272,6 +474,7 @@ class BatchedSLAM:
             ts = (timestamps[:, i] if timestamps is not None
                   else np.full(self.B, float(i) / 30.0))
             out[:, i] = self.track(grays, depths, ts)
+        self.flush()
         for s in self.systems:
             s.shutdown()
         return out

@@ -244,7 +244,8 @@ class System:
                 for lid, a in births.items():
                     d[lid] = int(remap[a]) if a >= 0 and remap[a] >= 0 else 0
 
-    def submit_fused_result(self, result, timestamp: float) -> np.ndarray:
+    def submit_fused_result(self, result, timestamp: float,
+                            state_stack=None, lane: int = 0) -> np.ndarray:
         """Batched-replay entry: apply an EXTERNALLY computed fused-step
         result (one slice of the vmapped multi-sequence program) and run
         the same back-end stages as track_rgbd."""
@@ -252,7 +253,8 @@ class System:
         tr = self.tracker
         tr.frame_id += 1
         tr.stats["frames"] += 1
-        ok = tr.submit_fused_result(result, timestamp)
+        ok = tr.submit_fused_result(result, timestamp,
+                                    state_stack=state_stack, lane=lane)
         if not ok:
             tr.stats["lost"] += 1
             tr.state = TrackingState.LOST

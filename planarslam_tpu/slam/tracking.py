@@ -690,7 +690,8 @@ class Tracking:
             return (jnp.asarray(gray),) + tail
         return (jnp.asarray(gray), jnp.asarray(depth)) + tail
 
-    def submit_fused_result(self, result, timestamp: float) -> bool:
+    def submit_fused_result(self, result, timestamp: float,
+                            state_stack=None, lane: int = 0) -> bool:
         """Queue a fused-step result into the pipeline and process the
         now-due lagged bundle. Counterpart of fused_step_inputs.
 
@@ -698,19 +699,33 @@ class Tracking:
         time: the tunnel's program round-trip latency (~30 ms measured,
         vs ~0.3 ms of actual device compute) then overlaps the next
         frames' host work instead of blocking _process_bundle (the wait
-        releases the GIL)."""
+        releases the GIL).
+
+        state_stack/lane: batched multi-sequence mode (parallel/replay) —
+        the carried state stays STACKED on device (lane-slicing it eagerly
+        would cost per-leaf device ops every frame); result.packed is this
+        lane's already-pulled numpy bundle row, and any keyframe feature
+        pull slices the stacked features on device (pack_feats_slice, the
+        chunk path's mechanism)."""
         self._apply_pending_kf()  # deferred KF due? (fixed horizon)
         try:
             result.packed.copy_to_host_async()
         except Exception:
             pass  # platform without async D2H: np.asarray will sync later
         packed_future = self._pull_pool.submit(np.asarray, result.packed)
-        self._pending.append({
+        entry = {
             "packed": result.packed, "packed_future": packed_future,
-            "state": result.new_state,
             "timestamp": timestamp, "frame_id": self.frame_id,
-            "depth": self._last_depth})
-        self._fused_state = result.new_state
+            "depth": self._last_depth}
+        if state_stack is not None:
+            entry["state_stack"] = state_stack
+            entry["chunk_i"] = lane
+            # non-None marker: this lane is alive and stepped externally
+            self._fused_state = state_stack
+        else:
+            entry["state"] = result.new_state
+            self._fused_state = result.new_state
+        self._pending.append(entry)
         while len(self._pending) > self.pipeline_depth:
             prev = self._pending.pop(0)
             if not self._process_bundle(prev):
@@ -1326,7 +1341,7 @@ class Tracking:
             # coincidental matches off repetitive texture (the reference's
             # absolute nGood>=50 over ~1000 features encodes the same
             # ratio; the scaled-down absolute alone is defeatable)
-            n_vis = self._n_frustum_landmarks(c, T_est)
+            n_vis = self._n_frustum_landmarks(c, T_est, feats)
             if n_good >= accept and n_good >= 0.25 * max(n_vis, 1):
                 self.T_cw = T_est
                 self.ref_kf = c
@@ -1335,13 +1350,22 @@ class Tracking:
                 return cur
         return None
 
-    def _n_frustum_landmarks(self, kf_c: int, T_est: np.ndarray) -> int:
+    def _n_frustum_landmarks(self, kf_c: int, T_est: np.ndarray,
+                             feats: FrameFeatures) -> int:
         """How many of a keyframe's landmarks are FINDABLE at the given
         pose (denominator of the relocalization coverage check): inside the
-        image AND passing the same scale-range and viewing-cone gates the
+        image, passing the same scale-range and viewing-cone gates the
         projection matcher applies (reference isInFrustum,
-        `src/Frame.cc:250-302`) — landmarks the matcher would never
-        consider must not count against coverage."""
+        `src/Frame.cc:250-302`), AND with a detected feature inside the
+        guided search window — landmarks the matcher would never consider
+        must not count against coverage. The detection condition matters:
+        the frame detects a bounded feature budget, so typically only
+        ~half the map landmarks in view have ANY corresponding keypoint
+        this frame; counting the undetectable ones inflates the
+        denominator with matches no pose could produce. A WRONG pose on
+        repetitive texture still keeps the denominator honest — aliased
+        texture is exactly where features are dense, so projections land
+        near features and coverage stays demanded."""
         m = self.map
         cam = self.cfg.camera
         row = m.kf_pt_idx[kf_c]
@@ -1359,9 +1383,20 @@ class Tracking:
         in_range = ((dist >= 0.8 * m.pt_min_dist[lm])
                     & (dist <= 1.2 * m.pt_max_dist[lm]))
         cosv = (vec * m.pt_normal[lm]).sum(axis=1) / dist
-        return int(((pc[:, 2] > 0.05) & (u >= 0) & (u < cam.width)
-                    & (v >= 0) & (v < cam.height)
-                    & in_range & (cosv > 0.5)).sum())
+        ok = ((pc[:, 2] > 0.05) & (u >= 0) & (u < cam.width)
+              & (v >= 0) & (v < cam.height) & in_range & (cosv > 0.5))
+        if not ok.any():
+            return 0
+        # findability: a detected feature within the coarse guided-pass
+        # window (same resolution-scaled radius as _reloc_guided_pass)
+        f_uv = np.asarray(feats.points.uv)[np.asarray(feats.points.valid)]
+        if len(f_uv) == 0:
+            return 0
+        radius = 10.0 * cam.width / 640.0
+        proj = np.stack([u[ok], v[ok]], -1)
+        d2 = ((proj[:, None, :] - f_uv[None, :, :]) ** 2).sum(-1)
+        near = d2.min(axis=1) <= radius * radius
+        return int(near.sum())
 
     # ------------------------------------------------------ local map tracking
     def _track_local_map(self, feats: FrameFeatures, cur_map_pt: np.ndarray

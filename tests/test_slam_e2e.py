@@ -141,6 +141,55 @@ def test_localization_mode_freezes_map():
     assert min(errs) < 0.06, f"localization errors {errs}"
 
 
+def test_localization_mode_long_run():
+    """Long localization-only run (round-4 VERDICT missing #3): the
+    reference keeps localization alive with per-frame temporal VO points
+    (`src/Tracking.cc:320-372`, UpdateLastFrame `:1861`); this build
+    carries frame-to-frame matches in device state instead
+    (tracking.py:90-96). Functional parity must hold over MANY
+    localization frames, not just the 4-frame freeze check above: two
+    full extra loops (48 frames) against the frozen map, never going
+    LOST, with bounded per-frame error throughout."""
+    n_map = 24
+    cfg = SystemConfig.tiny()
+    seq = synthetic.make_sequence(n_frames=n_map, width=cfg.camera.width,
+                                  height=cfg.camera.height, kind="loop")
+    slam = System(config=cfg)
+    for i in range(len(seq)):
+        gray, depth = seq.render(i)
+        slam.track_rgbd(gray, depth, seq.timestamps[i])
+    slam.tracker.flush_pending()
+    assert slam.get_tracking_state() == TrackingState.OK
+    n_kf = len(slam.map.valid_kf_ids())
+    n_pts = int(slam.map.pt_valid.sum())
+
+    slam.activate_localization_mode()
+    lost_before = slam.tracker.stats["lost"]
+    errs = []
+    for k in range(2 * n_map):  # two more loops over the mapped area
+        i = k % n_map
+        gray, depth = seq.render(i)
+        slam.track_rgbd(gray, depth, 100.0 + k / 30.0)
+        # the pipelined pose lags by <= pipeline_depth frames; compare
+        # against the GT of the recent window
+        T_est_wc = np.linalg.inv(slam.tracker.T_cw)
+        lag = [(k - d) % n_map for d in range(cfg.tracking.pipeline_depth + 2)]
+        errs.append(min(np.linalg.norm(
+            T_est_wc[:3, 3] - seq.poses_wc[j][:3, 3]) for j in lag))
+    slam.tracker.flush_pending()
+    # never lost across 48 localization-only frames
+    assert slam.tracker.stats["lost"] == lost_before
+    assert slam.get_tracking_state() == TrackingState.OK
+    # map stayed frozen the whole time
+    assert len(slam.map.valid_kf_ids()) == n_kf
+    assert int(slam.map.pt_valid.sum()) == n_pts
+    # bounded error throughout (not just at the end): no slow drift from
+    # compounding VO against a frozen map
+    errs = np.asarray(errs)
+    assert np.median(errs) < 0.05, f"median err {np.median(errs):.4f}"
+    assert errs[8:].max() < 0.15, f"max err {errs[8:].max():.4f}"
+
+
 def _inject_bogus_line(slam):
     """A phantom map line in the camera frustum with a garbage descriptor:
     it will be VISIBLE every frame but never FOUND, so `_cull_lines`' ratio
