@@ -19,6 +19,14 @@ and wall-clock fps (n_frames / total wall seconds). The per-frame stage
 budget (Tracking.prof) ships in detail for one streaming and one chunked
 run (round-4 VERDICT #1).
 
+Self-budgeting: first XLA compiles through the tunnel cost 100-250 s each
+and the persistent compilation cache deadlocks on the axon backend
+(measured: a trivial kernel's cache *hit* path hangs >200 s), so the bench
+tracks wall time against BENCH_BUDGET_S (default 840 s) and skips optional
+axes — recording WHY — instead of being killed mid-run with no output.
+A SIGTERM/SIGINT handler emits the partial JSON so a harness timeout still
+records every phase that finished.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 """
 
@@ -26,6 +34,9 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
+import signal
+import sys
 import time
 from collections import defaultdict
 
@@ -34,6 +45,41 @@ import numpy as np
 N_FRAMES = 96
 WARMUP = 5
 BASELINE_FPS = 30.0  # reference real-time operating point (see module doc)
+
+T_START = time.perf_counter()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "840"))
+
+# updated in place as phases finish; emitted by the SIGTERM handler
+RESULT = {
+    "metric": "tracking_fps_per_chip",
+    "value": 0.0,
+    "unit": "fps",
+    "vs_baseline": 0.0,
+    "detail": {"phases_done": []},
+}
+
+
+def _elapsed() -> float:
+    return time.perf_counter() - T_START
+
+
+def _remaining() -> float:
+    return BUDGET_S - _elapsed()
+
+
+def _note(msg: str) -> None:
+    print(f"[bench +{_elapsed():7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _emit_and_exit(signum, frame):  # pragma: no cover - signal path
+    RESULT["detail"]["terminated_early"] = (
+        f"signal {signum} at +{_elapsed():.1f}s; phases_done is authoritative")
+    print(json.dumps(RESULT), flush=True)
+    os._exit(0)
+
+
+signal.signal(signal.SIGTERM, _emit_and_exit)
+signal.signal(signal.SIGINT, _emit_and_exit)
 
 
 def _quantizer(cfg):
@@ -187,6 +233,9 @@ def main() -> None:
     from planarslam_tpu.io import synthetic
     from planarslam_tpu.slam.system import System
 
+    detail = RESULT["detail"]
+    phases = detail["phases_done"]
+
     cfg = SystemConfig()
     seq = synthetic.make_sequence(n_frames=N_FRAMES, width=cfg.camera.width,
                                   height=cfg.camera.height)
@@ -195,6 +244,7 @@ def main() -> None:
     # TUM dataset loader yields (`Examples/RGB-D/main.cc:75` feeds CV_8U/16U)
     quantize = _quantizer(cfg)
     frames = [quantize(*seq.render(i)) for i in range(N_FRAMES)]
+    _note("frames rendered")
 
     # ---- streaming mode (per-frame pipeline, reference-like latency) ----
     # The tunnel's per-transaction service time for the SAME program varies
@@ -204,12 +254,18 @@ def main() -> None:
     # standard estimator for intrinsic cost under external interference
     # (hyperfine/timeit do the same). Every repeat is a FULL fresh SLAM
     # system over all 96 frames; ATE comes from the reported run.
-    STREAM_DEPTHS = (2, 4, 3)
+    # Depth 4 (the round-4 winner) goes first so the best configuration is
+    # measured even if the budget cuts the sweep short.
+    STREAM_DEPTHS = (4, 2, 3)
     N_REPEATS = 2
     best = None
     best_depth = STREAM_DEPTHS[0]
     stream_by_depth = []
     for dep in STREAM_DEPTHS:
+        if stream_by_depth and _remaining() < 60:
+            detail["stream_sweep_truncated"] = (
+                f"budget: skipped depths from {dep}")
+            break
         cfg_s = cfg.replace(tracking=dataclasses.replace(
             cfg.tracking, pipeline_depth=dep))
         per_depth = []
@@ -220,6 +276,9 @@ def main() -> None:
             if best is None or r["median_ms"] < best["median_ms"]:
                 best = r
                 best_depth = dep
+            _note(f"stream depth={dep} rep={rep} "
+                  f"median={r['median_ms']:.2f}ms wall_fps="
+                  f"{r['wall_fps']:.1f}")
         stream_by_depth.append({
             "depth": dep,
             # min of the repeat medians (NOT itself a median — ADVICE r4)
@@ -231,61 +290,72 @@ def main() -> None:
     stream_ate = ate_rmse(est_s[:, :3, 3], seq.poses_wc[:len(est_s), :3, 3])
     stream_pts = int(slam_s.map.pt_valid.sum())
 
-    # ---- chunked throughput mode (C frames per device program) ----------
-    # Full SLAM over the same sequence with the device transactions
-    # amortized over CHUNK-frame chunks (pose output lags <= depth*CHUNK
-    # frames; ATE is measured on THIS run, proving quality holds). Swept
-    # over CHUNK x chunk_pipeline_depth like the streaming depth sweep
-    # (round-4 VERDICT #2: chunked had never been given the same tuning).
-    CHUNK_SWEEP = ((8, 2), (8, 3), (16, 2))
-    chunk_best = None
-    chunk_by_cfg = []
-    for C, dep in CHUNK_SWEEP:
-        cfg_c = cfg.replace(tracking=dataclasses.replace(
-            cfg.tracking, chunk_size=C, chunk_pipeline_depth=dep))
-        r = _run_slam(frames, seq.timestamps, cfg_c,
-                      profile=(C, dep) == CHUNK_SWEEP[0])
-        # per-call times alternate between buffering (~0) and dispatch+
-        # drain frames, so the windowed MEAN over the last 2/3 is the
-        # meaningful per-frame cost, not the median
-        tc = np.asarray(r["times"][N_FRAMES // 3:])
-        r["chunk_mean_ms"] = float(tc.mean() * 1e3)
-        chunk_by_cfg.append({"chunk": C, "depth": dep,
-                             "mean_ms": round(r["chunk_mean_ms"], 3),
-                             "wall_fps": round(r["wall_fps"], 2)})
-        if chunk_best is None or r["wall_fps"] > chunk_best["wall_fps"]:
-            chunk_best = r
-            chunk_best_cfg = (C, dep)
-    slam_c = chunk_best.pop("slam")
-    est_c = slam_c.frame_poses_wc()
-    chunk_ate = ate_rmse(est_c[:, :3, 3], seq.poses_wc[:len(est_c), :3, 3])
-    chunk_fps = 1e3 / chunk_best["chunk_mean_ms"]
-
-    # ---- batched multi-sequence axis (one chip) --------------------------
-    batched = []
-    for B in (4, 8):
-        try:
-            batched.append(_run_batched(cfg, B))
-        except Exception as e:  # never lose the whole bench to one axis
-            batched.append({"B": B, "error": repr(e)})
+    median_ms = best["median_ms"]
+    fps = 1e3 / median_ms
+    RESULT["value"] = round(fps, 2)
+    RESULT["vs_baseline"] = round(fps / BASELINE_FPS, 3)
+    detail.update({
+        "mode": f"streaming (per-frame pipeline, depth {best_depth})",
+        "median_ms_per_frame": round(median_ms, 3),
+        "stream_mean_ms": round(best["mean_ms"], 3),
+        "stream_p95_ms": round(best["p95_ms"], 3),
+        "stream_wall_fps": round(best["wall_fps"], 2),
+        "stream_by_depth": stream_by_depth,
+        "stream_stage_ms_per_frame": best.get("stage_ms_per_frame"),
+        # Feature/Track split protocol (`src/Tracking.cc:189-198`): the
+        # fused pipeline runs extraction+tracking as ONE device program,
+        # so feature_ms is a SAMPLED blocking extraction measurement
+        # (re-taken every feature_sample_interval frames, replayed
+        # between samples). It can exceed the pipelined per-frame total
+        # because pipelining hides device latency behind the next
+        # frame's dispatch.
+        "feature_ms_sampled": round(
+            float(np.median(best["feat_times"][WARMUP:]) * 1e3), 3),
+        "median_track_ms": round(
+            float(np.median(best["track_times"][WARMUP:]) * 1e3), 3),
+        "ate_rmse_m": round(float(stream_ate), 5),
+        "n_frames": N_FRAMES,
+        "resolution": [cfg.camera.width, cfg.camera.height],
+        "keyframes": best["keyframes"],
+        "map_points": stream_pts,
+        "baseline": "reference real-time operating point 30 fps "
+                    "(README.md:53, TUM3.yaml Camera.fps)",
+    })
+    phases.append("streaming")
+    _note(f"streaming done: {fps:.1f} fps (depth {best_depth})")
 
     # ---- dispatch-loop floor (same run, same ambient load) --------------
     # The isolated fused-step feedback loop with lag-2 pulls and ZERO host
     # SLAM work: the fastest any per-frame pipeline can go in this
     # environment. min-of-2 for the same ambient-load reason as the
-    # streaming repeats.
-    floor_ms = min(_measure_dispatch_floor(frames, cfg),
-                   _measure_dispatch_floor(frames, cfg))
+    # streaming repeats. Programs are already compiled — cheap.
+    if _remaining() > 45:
+        floor_ms = min(_measure_dispatch_floor(frames, cfg),
+                       _measure_dispatch_floor(frames, cfg))
+        detail["dispatch_floor_ms_per_frame"] = round(floor_ms, 3)
+        # tracker_vs_floor ~ 1.0 means the tracker sits ON the
+        # environment's program-dispatch cadence (host work and device
+        # program cost are not the bottleneck)
+        detail["tracker_vs_floor"] = (
+            round(median_ms / floor_ms, 3)
+            if floor_ms == floor_ms and floor_ms > 0 else None)
+        phases.append("floor")
+        _note(f"floor done: {floor_ms:.2f} ms")
+    else:
+        detail["dispatch_floor_ms_per_frame"] = "skipped (budget)"
 
     # ---- sensor-stress configurations (SURVEY §6 configs 3-4) -----------
     # full SLAM at 640x480 under (a) the reference's Kinect depth-noise
     # model sigma(z) = c1 z^2 + c2 z + c3 (`src/LineExtractor.cpp:1182`)
     # and (b) a texture-poor corridor — quality under degradation, not just
-    # the friendly room.
+    # the friendly room. Same programs as streaming — compile-cached.
     stress = {}
     for name, kw in (("kinect_noise", dict(depth_noise=1.0,
                                            noise_model="kinect")),
                      ("corridor", dict(kind="corridor", scene="corridor"))):
+        if _remaining() < 45:
+            stress[name] = "skipped (budget)"
+            continue
         sseq = synthetic.make_sequence(n_frames=48, width=cfg.camera.width,
                                        height=cfg.camera.height, **kw)
         s = System(config=cfg)
@@ -297,27 +367,49 @@ def main() -> None:
         stress[f"{name}_ate_m"] = round(float(ate_rmse(
             est_x[:, :3, 3], sseq.poses_wc[:len(est_x), :3, 3])), 5)
         stress[f"{name}_lost"] = int(s.tracker.stats["lost"])
+        _note(f"stress {name} done")
+    detail["stress"] = stress
+    phases.append("stress")
 
-    # headline: the streaming per-frame pipeline's median (the reference's
-    # own protocol: per-frame tracking latency, `Examples/RGB-D/main.cc:
-    # 108`); wall-clock fps for BOTH modes sits beside it in detail and is
-    # the number the >=5x target should be judged on (round-4 VERDICT #3).
-    median_ms = best["median_ms"]
-    fps = 1e3 / median_ms
-
-    result = {
-        "metric": "tracking_fps_per_chip",
-        "value": round(fps, 2),
-        "unit": "fps",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
-        "detail": {
-            "mode": f"streaming (per-frame pipeline, depth {best_depth})",
-            "median_ms_per_frame": round(median_ms, 3),
-            "stream_mean_ms": round(best["mean_ms"], 3),
-            "stream_p95_ms": round(best["p95_ms"], 3),
-            "stream_wall_fps": round(best["wall_fps"], 2),
-            "stream_by_depth": stream_by_depth,
-            "stream_stage_ms_per_frame": best.get("stage_ms_per_frame"),
+    # ---- chunked throughput mode (C frames per device program) ----------
+    # Full SLAM over the same sequence with the device transactions
+    # amortized over CHUNK-frame chunks (pose output lags <= depth*CHUNK
+    # frames; ATE is measured on THIS run, proving quality holds). Swept
+    # over CHUNK x chunk_pipeline_depth like the streaming depth sweep
+    # (round-4 VERDICT #2). The first config costs a fresh ~2-4 min XLA
+    # compile; same-CHUNK depth variants reuse it; CHUNK=16 is another
+    # fresh compile and is attempted only with budget to spare.
+    CHUNK_SWEEP = ((8, 2, 240), (8, 3, 60), (16, 2, 240))
+    chunk_best = None
+    chunk_by_cfg = []
+    for C, dep, est_cost in CHUNK_SWEEP:
+        if _remaining() < est_cost:
+            chunk_by_cfg.append({"chunk": C, "depth": dep,
+                                 "skipped": "budget"})
+            continue
+        cfg_c = cfg.replace(tracking=dataclasses.replace(
+            cfg.tracking, chunk_size=C, chunk_pipeline_depth=dep))
+        r = _run_slam(frames, seq.timestamps, cfg_c,
+                      profile=(C, dep) == CHUNK_SWEEP[0][:2])
+        # per-call times alternate between buffering (~0) and dispatch+
+        # drain frames, so the windowed MEAN over the last 2/3 is the
+        # meaningful per-frame cost, not the median
+        tc = np.asarray(r["times"][N_FRAMES // 3:])
+        r["chunk_mean_ms"] = float(tc.mean() * 1e3)
+        chunk_by_cfg.append({"chunk": C, "depth": dep,
+                             "mean_ms": round(r["chunk_mean_ms"], 3),
+                             "wall_fps": round(r["wall_fps"], 2)})
+        _note(f"chunk C={C} depth={dep} wall_fps={r['wall_fps']:.1f}")
+        if chunk_best is None or r["wall_fps"] > chunk_best["wall_fps"]:
+            chunk_best = r
+            chunk_best_cfg = (C, dep)
+    if chunk_best is not None:
+        slam_c = chunk_best.pop("slam")
+        est_c = slam_c.frame_poses_wc()
+        chunk_ate = ate_rmse(est_c[:, :3, 3],
+                             seq.poses_wc[:len(est_c), :3, 3])
+        chunk_fps = 1e3 / chunk_best["chunk_mean_ms"]
+        detail.update({
             "chunked_fps": round(chunk_fps, 2),
             "chunked_mean_ms_per_frame": round(
                 chunk_best["chunk_mean_ms"], 3),
@@ -329,39 +421,29 @@ def main() -> None:
                             f"latency <= "
                             f"{chunk_best_cfg[0] * chunk_best_cfg[1]} "
                             f"frames",
-            "chunked_by_cfg": chunk_by_cfg,
             "chunked_stage_ms_per_frame": chunk_best.get(
                 "stage_ms_per_frame"),
-            "batched_multi_sequence": batched,
-            # Feature/Track split protocol (`src/Tracking.cc:189-198`): the
-            # fused pipeline runs extraction+tracking as ONE device program,
-            # so feature_ms is a SAMPLED blocking extraction measurement
-            # (re-taken every feature_sample_interval frames, replayed
-            # between samples). It can exceed the pipelined per-frame total
-            # because pipelining hides device latency behind the next
-            # frame's dispatch.
-            "feature_ms_sampled": round(
-                float(np.median(best["feat_times"][WARMUP:]) * 1e3), 3),
-            "median_track_ms": round(
-                float(np.median(best["track_times"][WARMUP:]) * 1e3), 3),
-            "ate_rmse_m": round(float(stream_ate), 5),
-            # same-run bare dispatch-loop floor: tracker_vs_floor ~ 1.0
-            # means the tracker sits ON the environment's program-dispatch
-            # cadence (host work and device program cost are not the
-            # bottleneck) — see _measure_dispatch_floor
-            "dispatch_floor_ms_per_frame": round(floor_ms, 3),
-            "tracker_vs_floor": round(median_ms / floor_ms, 3)
-            if floor_ms == floor_ms and floor_ms > 0 else None,
-            "stress": stress,
-            "n_frames": N_FRAMES,
-            "resolution": [cfg.camera.width, cfg.camera.height],
-            "keyframes": best["keyframes"],
-            "map_points": stream_pts,
-            "baseline": "reference real-time operating point 30 fps "
-                        "(README.md:53, TUM3.yaml Camera.fps)",
-        },
-    }
-    print(json.dumps(result))
+        })
+        phases.append("chunked")
+    detail["chunked_by_cfg"] = chunk_by_cfg
+
+    # ---- batched multi-sequence axis (one chip) --------------------------
+    batched = []
+    for B, est_cost in ((4, 240), (8, 240)):
+        if _remaining() < est_cost:
+            batched.append({"B": B, "skipped": "budget"})
+            continue
+        try:
+            batched.append(_run_batched(cfg, B))
+            _note(f"batched B={B} done: "
+                  f"{batched[-1].get('batched_fps_per_chip')}")
+        except Exception as e:  # never lose the whole bench to one axis
+            batched.append({"B": B, "error": repr(e)})
+    detail["batched_multi_sequence"] = batched
+    phases.append("batched")
+
+    detail["bench_wall_s"] = round(_elapsed(), 1)
+    print(json.dumps(RESULT))
 
 
 if __name__ == "__main__":
